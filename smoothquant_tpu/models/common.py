@@ -1,0 +1,189 @@
+"""Shared model building blocks.
+
+The reference borrows its transformer implementation from HF transformers and
+only swaps Linear/norm modules in place (SURVEY.md §1).  Here the models are
+our own: pure functions over params pytrees.  This module holds the pieces
+every architecture shares — norms, rotary embeddings, attention math, the
+quantization-aware linear call, and the KV cache structure.
+
+Params conventions:
+  linear: {"weight": (out, in), "bias": (out,) | None, [salient keys]}
+  norm:   {"weight": (C,), ["bias": (C,)]}
+  layer stacks are dicts keyed by str(layer_index) so pytree paths are
+  uniform string tuples.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from smoothquant_tpu.quant.calibrate import TapCollector
+from smoothquant_tpu.quant.config import QuantConfig
+from smoothquant_tpu.quant.linear import linear as plain_linear
+from smoothquant_tpu.quant.linear import quant_linear
+
+NEG_INF = -1e9
+
+
+@dataclasses.dataclass
+class ForwardContext:
+    """Per-call context threaded through a model forward pass.
+
+    quant: when set, weight-quantized linears apply on-the-fly activation
+      quantization (the simulated path).  Params must have been produced by
+      quantize_model_params.
+    taps: when set, every quantizable linear reports input (and output)
+      statistics for calibration (replaces the reference's torch hooks).
+    """
+
+    quant: Optional[QuantConfig] = None
+    taps: Optional[TapCollector] = None
+
+
+def call_linear(
+    params: dict,
+    x: jax.Array,
+    name: str,
+    ctx: Optional[ForwardContext],
+    quantize_output: bool = False,
+) -> jax.Array:
+    """A quantizable linear call site.
+
+    name is the HF-style module path (e.g. "model.layers.0.self_attn.q_proj")
+    used for calibration stats and act-scales keys, so artifacts produced by
+    the reference pipeline remain loadable.
+    """
+    if ctx is not None and ctx.taps is not None:
+        ctx.taps.tap_input(name, x)
+    if ctx is not None and ctx.quant is not None:
+        y = quant_linear(
+            params,
+            x,
+            ctx.quant,
+            quantize_output=quantize_output and ctx.quant.quantize_bmm_input,
+        )
+    else:
+        y = plain_linear(params, x)
+    if ctx is not None and ctx.taps is not None:
+        ctx.taps.tap_output(name, y)
+    return y
+
+
+def layer_norm(params: dict, x: jax.Array, eps: float = 1e-5) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * params["weight"].astype(jnp.float32)
+    if params.get("bias") is not None:
+        y = y + params["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def rms_norm(params: dict, x: jax.Array, eps: float = 1e-6) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    y = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return (y * params["weight"].astype(jnp.float32)).astype(x.dtype)
+
+
+def rotary_cos_sin(
+    positions: jax.Array, head_dim: int, theta: float = 10000.0
+) -> tuple[jax.Array, jax.Array]:
+    """HF-Llama-style rotary tables: (..., seq, head_dim) with duplicated halves."""
+    inv_freq = 1.0 / (
+        theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
+    )
+    freqs = positions.astype(jnp.float32)[..., None] * inv_freq[None, :]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def apply_rotary(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """x: (B, S, n_heads, head_dim); cos/sin: (B or 1, S, head_dim)."""
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    cos = cos[:, :, None, :].astype(x.dtype)
+    sin = sin[:, :, None, :].astype(x.dtype)
+    return x * cos + rotated * sin
+
+
+class KVCache(NamedTuple):
+    """Static-shape decode cache: k/v (B, max_len, n_kv_heads, head_dim)."""
+
+    k: jax.Array
+    v: jax.Array
+    pos: jax.Array  # scalar int32: number of valid positions already written
+
+    @classmethod
+    def create(cls, batch: int, max_len: int, n_kv_heads: int, head_dim: int, dtype):
+        shape = (batch, max_len, n_kv_heads, head_dim)
+        return cls(
+            k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
+            pos=jnp.zeros((), jnp.int32),
+        )
+
+    def update(self, k_new: jax.Array, v_new: jax.Array) -> "KVCache":
+        """Append k/v for the current step(s) at self.pos."""
+        k = jax.lax.dynamic_update_slice(self.k, k_new, (0, self.pos, 0, 0))
+        v = jax.lax.dynamic_update_slice(self.v, v_new, (0, self.pos, 0, 0))
+        return KVCache(k=k, v=v, pos=self.pos + k_new.shape[1])
+
+
+def attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal_offset: jax.Array | int = 0,
+    scale: Optional[float] = None,
+    valid_len: Optional[jax.Array] = None,
+    attn_mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Scaled dot-product attention with causal masking and GQA.
+
+    q: (B, Sq, n_heads, d); k/v: (B, Sk, n_kv_heads, d).  kv heads are
+    repeated to match q heads.  Query position i attends to key positions
+    j <= i + causal_offset; positions >= valid_len (if given) are masked
+    (used with a pre-allocated KV cache).  attn_mask: optional (B, Sk) of
+    {0,1} marking valid key positions (padding mask).
+    Softmax in float32 (matching the reference INT8 path, opt.py:168-189).
+    """
+    b, sq, nh, d = q.shape
+    n_kv = k.shape[2]
+    if n_kv != nh:
+        rep = nh // n_kv
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+    if scale is None:
+        scale = 1.0 / (d ** 0.5)
+
+    # (B, nh, Sq, Sk)
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    scores = scores * scale
+
+    sk = k.shape[1]
+    qi = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 0)
+    kj = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 1)
+    mask = kj <= qi + causal_offset
+    if valid_len is not None:
+        mask = jnp.logical_and(mask, kj < valid_len)
+    mask = mask[None, None, :, :]
+    if attn_mask is not None:
+        mask = jnp.logical_and(mask, attn_mask[:, None, None, :].astype(bool))
+    scores = jnp.where(mask, scores, NEG_INF)
+
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+
+def unembed(x: jax.Array, embedding: jax.Array) -> jax.Array:
+    """Tied-embedding logits: (B,S,H) @ (V,H)^T in float32."""
+    return jnp.einsum(
+        "bsh,vh->bsv", x, embedding.astype(x.dtype),
+        preferred_element_type=jnp.float32,
+    )

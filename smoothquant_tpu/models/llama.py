@@ -1,0 +1,341 @@
+"""Llama-family decoder (covers Llama 2/3 and Mistral) — functional JAX.
+
+The reference relies on HF transformers for the model itself and only swaps
+linears/norms (SURVEY.md §1); quantization surgery and smoothing pairing for
+this family live in fake_quant.py:464-561 and smooth.py:126-141.  Here the
+model is ours: params pytree + pure forward, with quantization and
+calibration reached through ForwardContext.
+
+Mistral is this architecture with sliding-window attention; set
+config.sliding_window (the reference's eval windows are 2048 < 4096, so the
+window never binds in its workloads).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smoothquant_tpu.models.common import (
+    ForwardContext,
+    KVCache,
+    apply_rotary,
+    attention,
+    call_linear,
+    rms_norm,
+    rotary_cos_sin,
+    unembed,
+)
+from smoothquant_tpu.quant.config import QuantConfig
+from smoothquant_tpu.quant.linear import quantize_linear_params
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_hidden_layers: int = 32
+    num_attention_heads: int = 32
+    num_key_value_heads: int = 32
+    max_position_embeddings: int = 4096
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 10000.0
+    tie_word_embeddings: bool = False
+    attention_bias: bool = False
+    mlp_bias: bool = False
+    sliding_window: Optional[int] = None  # Mistral: 4096
+    dtype: str = "bfloat16"
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+    @classmethod
+    def llama2_7b(cls) -> "LlamaConfig":
+        return cls()
+
+    @classmethod
+    def llama2_13b(cls) -> "LlamaConfig":
+        return cls(hidden_size=5120, intermediate_size=13824,
+                   num_hidden_layers=40, num_attention_heads=40,
+                   num_key_value_heads=40)
+
+    @classmethod
+    def mistral_7b(cls) -> "LlamaConfig":
+        return cls(hidden_size=4096, intermediate_size=14336,
+                   num_hidden_layers=32, num_attention_heads=32,
+                   num_key_value_heads=8, rope_theta=1e6,
+                   sliding_window=4096, vocab_size=32000)
+
+    @classmethod
+    def tiny(cls, vocab_size: int = 256) -> "LlamaConfig":
+        """Small config for tests."""
+        return cls(vocab_size=vocab_size, hidden_size=64, intermediate_size=128,
+                   num_hidden_layers=2, num_attention_heads=4,
+                   num_key_value_heads=2, max_position_embeddings=128,
+                   dtype="float32")
+
+
+# ---------------------------------------------------------------------------
+# Params
+# ---------------------------------------------------------------------------
+
+ATTN_PROJS = ("q_proj", "k_proj", "v_proj", "o_proj")
+MLP_PROJS = ("gate_proj", "up_proj", "down_proj")
+
+
+def init_params(key: jax.Array, cfg: LlamaConfig) -> dict:
+    dtype = jnp.dtype(cfg.dtype)
+    h, inter = cfg.hidden_size, cfg.intermediate_size
+    kv_dim = cfg.num_key_value_heads * cfg.head_dim
+    keys = iter(jax.random.split(key, 4 + cfg.num_hidden_layers * 7))
+
+    def lin(k, out_f, in_f, bias):
+        p = {"weight": (jax.random.normal(k, (out_f, in_f), dtype) * (in_f ** -0.5))}
+        p["bias"] = jnp.zeros((out_f,), dtype) if bias else None
+        return p
+
+    layers = {}
+    for i in range(cfg.num_hidden_layers):
+        layers[str(i)] = {
+            "input_layernorm": {"weight": jnp.ones((h,), dtype)},
+            "post_attention_layernorm": {"weight": jnp.ones((h,), dtype)},
+            "self_attn": {
+                "q_proj": lin(next(keys), h, h, cfg.attention_bias),
+                "k_proj": lin(next(keys), kv_dim, h, cfg.attention_bias),
+                "v_proj": lin(next(keys), kv_dim, h, cfg.attention_bias),
+                "o_proj": lin(next(keys), h, h, False),
+            },
+            "mlp": {
+                "gate_proj": lin(next(keys), inter, h, cfg.mlp_bias),
+                "up_proj": lin(next(keys), inter, h, cfg.mlp_bias),
+                "down_proj": lin(next(keys), h, inter, cfg.mlp_bias),
+            },
+        }
+    params = {
+        "embed_tokens": {"weight": jax.random.normal(next(keys), (cfg.vocab_size, h), dtype) * 0.02},
+        "layers": layers,
+        "norm": {"weight": jnp.ones((h,), dtype)},
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = lin(next(keys), cfg.vocab_size, h, False)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _decoder_layer(
+    lp: dict,
+    x: jax.Array,
+    cfg: LlamaConfig,
+    layer_name: str,
+    cos: jax.Array,
+    sin: jax.Array,
+    ctx: Optional[ForwardContext],
+    cache: Optional[KVCache],
+    attn_mask: Optional[jax.Array],
+) -> tuple[jax.Array, Optional[KVCache]]:
+    b, s, h = x.shape
+    nh, n_kv, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+
+    residual = x
+    hidden = rms_norm(lp["input_layernorm"], x, cfg.rms_norm_eps)
+    sa = lp["self_attn"]
+    # q/k/v outputs optionally quantized to simulate quantized BMM inputs
+    # (quantize_bmm_input; fake_quant.py:517-550).
+    q = call_linear(sa["q_proj"], hidden, f"{layer_name}.self_attn.q_proj", ctx, True)
+    k = call_linear(sa["k_proj"], hidden, f"{layer_name}.self_attn.k_proj", ctx, True)
+    v = call_linear(sa["v_proj"], hidden, f"{layer_name}.self_attn.v_proj", ctx, True)
+    q = q.reshape(b, s, nh, d)
+    k = k.reshape(b, s, n_kv, d)
+    v = v.reshape(b, s, n_kv, d)
+    q = apply_rotary(q, cos, sin)
+    k = apply_rotary(k, cos, sin)
+
+    if cache is not None:
+        offset = cache.pos
+        cache = cache.update(k, v)
+        attn_out = attention(
+            q, cache.k, cache.v, causal_offset=offset, valid_len=cache.pos,
+            attn_mask=attn_mask,
+        )
+    else:
+        attn_out = attention(q, k, v, attn_mask=attn_mask)
+    attn_out = attn_out.reshape(b, s, nh * d)
+    x = residual + call_linear(sa["o_proj"], attn_out, f"{layer_name}.self_attn.o_proj", ctx)
+
+    residual = x
+    hidden = rms_norm(lp["post_attention_layernorm"], x, cfg.rms_norm_eps)
+    mlp = lp["mlp"]
+    gate = call_linear(mlp["gate_proj"], hidden, f"{layer_name}.mlp.gate_proj", ctx)
+    up = call_linear(mlp["up_proj"], hidden, f"{layer_name}.mlp.up_proj", ctx)
+    down = call_linear(
+        mlp["down_proj"], jax.nn.silu(gate) * up, f"{layer_name}.mlp.down_proj", ctx
+    )
+    return residual + down, cache
+
+
+def forward(
+    params: dict,
+    input_ids: jax.Array,
+    cfg: LlamaConfig,
+    ctx: Optional[ForwardContext] = None,
+    caches: Optional[list[KVCache]] = None,
+    positions: Optional[jax.Array] = None,
+    attn_mask: Optional[jax.Array] = None,
+) -> tuple[jax.Array, Optional[list[KVCache]]]:
+    """Returns (logits float32 (B,S,V), updated caches or None)."""
+    b, s = input_ids.shape
+    x = jnp.take(params["embed_tokens"]["weight"], input_ids, axis=0)
+    if positions is None:
+        start = caches[0].pos if caches is not None else 0
+        positions = start + jax.lax.broadcasted_iota(jnp.int32, (b, s), 1)
+    cos, sin = rotary_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+
+    new_caches = [] if caches is not None else None
+    for i in range(cfg.num_hidden_layers):
+        layer_cache = caches[i] if caches is not None else None
+        x, layer_cache = _decoder_layer(
+            params["layers"][str(i)], x, cfg, f"model.layers.{i}",
+            cos, sin, ctx, layer_cache, attn_mask,
+        )
+        if new_caches is not None:
+            new_caches.append(layer_cache)
+
+    x = rms_norm(params["norm"], x, cfg.rms_norm_eps)
+    if cfg.tie_word_embeddings or "lm_head" not in params:
+        logits = unembed(x, params["embed_tokens"]["weight"])
+    else:
+        logits = jnp.einsum(
+            "bsh,vh->bsv", x, params["lm_head"]["weight"].astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        )
+    return logits, new_caches
+
+
+# ---------------------------------------------------------------------------
+# Quantization surgery + smoothing map
+# ---------------------------------------------------------------------------
+
+
+def quantize_params(
+    params: dict,
+    cfg: LlamaConfig,
+    qcfg: QuantConfig,
+    input_feat: Optional[dict] = None,
+) -> dict:
+    """Offline weight quantization of every attention/MLP projection.
+
+    The TPU equivalent of quantize_llama_like (fake_quant.py:464-561): all
+    seven projections per layer are weight-quantized; salient importance for
+    each comes from input_feat (summed mean-abs calibration vectors) keyed by
+    HF-style names.
+    """
+    new_layers = {}
+    for i in range(cfg.num_hidden_layers):
+        lp = dict(params["layers"][str(i)])
+        prefix = f"model.layers.{i}"
+
+        def imp(proj_name):
+            if input_feat is None:
+                return None
+            return np.asarray(input_feat[proj_name])
+
+        sa = dict(lp["self_attn"])
+        for p in ATTN_PROJS:
+            sa[p] = quantize_linear_params(sa[p], qcfg, imp(f"{prefix}.self_attn.{p}"))
+        mlp = dict(lp["mlp"])
+        for p in MLP_PROJS:
+            mlp[p] = quantize_linear_params(mlp[p], qcfg, imp(f"{prefix}.mlp.{p}"))
+        lp["self_attn"], lp["mlp"] = sa, mlp
+        new_layers[str(i)] = lp
+    out = dict(params)
+    out["layers"] = new_layers
+    return out
+
+
+def smoothing_map(cfg: LlamaConfig):
+    """Norm→linears pairing for smooth_model (smooth.py:126-141).
+
+    input_layernorm → q/k/v (scales key: q_proj input);
+    post_attention_layernorm → gate/up (scales key: gate_proj input).
+    down_proj and o_proj inputs follow nonlinearities, not norms — unsmoothed.
+    """
+    pairs = []
+    for i in range(cfg.num_hidden_layers):
+        li = ("layers", str(i))
+        pairs.append((
+            li + ("input_layernorm",),
+            [li + ("self_attn", p) for p in ("q_proj", "k_proj", "v_proj")],
+            f"model.layers.{i}.self_attn.q_proj",
+        ))
+        pairs.append((
+            li + ("post_attention_layernorm",),
+            [li + ("mlp", p) for p in ("gate_proj", "up_proj")],
+            f"model.layers.{i}.mlp.gate_proj",
+        ))
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# HF checkpoint import
+# ---------------------------------------------------------------------------
+
+def config_from_hf(hf_cfg) -> LlamaConfig:
+    """Build LlamaConfig from a transformers Llama/MistralConfig object."""
+    return LlamaConfig(
+        vocab_size=hf_cfg.vocab_size,
+        hidden_size=hf_cfg.hidden_size,
+        intermediate_size=hf_cfg.intermediate_size,
+        num_hidden_layers=hf_cfg.num_hidden_layers,
+        num_attention_heads=hf_cfg.num_attention_heads,
+        num_key_value_heads=getattr(hf_cfg, "num_key_value_heads", hf_cfg.num_attention_heads),
+        max_position_embeddings=hf_cfg.max_position_embeddings,
+        rms_norm_eps=hf_cfg.rms_norm_eps,
+        rope_theta=getattr(hf_cfg, "rope_theta", 10000.0),
+        tie_word_embeddings=getattr(hf_cfg, "tie_word_embeddings", False),
+        attention_bias=getattr(hf_cfg, "attention_bias", False),
+        mlp_bias=getattr(hf_cfg, "mlp_bias", False),
+        sliding_window=getattr(hf_cfg, "sliding_window", None),
+    )
+
+
+def params_from_hf_state_dict(state: dict, cfg: LlamaConfig, dtype=None) -> dict:
+    """Map an HF Llama/Mistral state dict (numpy arrays) to our pytree."""
+    dtype = jnp.dtype(dtype or cfg.dtype)
+
+    def arr(name):
+        return jnp.asarray(np.asarray(state[name]), dtype)
+
+    def lin(name, bias):
+        p = {"weight": arr(name + ".weight")}
+        p["bias"] = arr(name + ".bias") if bias and name + ".bias" in state else None
+        return p
+
+    layers = {}
+    for i in range(cfg.num_hidden_layers):
+        p = f"model.layers.{i}"
+        layers[str(i)] = {
+            "input_layernorm": {"weight": arr(f"{p}.input_layernorm.weight")},
+            "post_attention_layernorm": {"weight": arr(f"{p}.post_attention_layernorm.weight")},
+            "self_attn": {
+                k: lin(f"{p}.self_attn.{k}", cfg.attention_bias) for k in ATTN_PROJS
+            },
+            "mlp": {k: lin(f"{p}.mlp.{k}", cfg.mlp_bias) for k in MLP_PROJS},
+        }
+    params = {
+        "embed_tokens": {"weight": arr("model.embed_tokens.weight")},
+        "layers": layers,
+        "norm": {"weight": arr("model.norm.weight")},
+    }
+    if not cfg.tie_word_embeddings and "lm_head.weight" in state:
+        params["lm_head"] = {"weight": arr("lm_head.weight"), "bias": None}
+    return params

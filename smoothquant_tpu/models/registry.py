@@ -1,0 +1,51 @@
+"""Model registry — architecture dispatch for quantization and smoothing.
+
+The TPU equivalent of the quantize_model isinstance-dispatcher
+(fake_quant.py:734-799) and smooth_lm's per-architecture walk
+(smooth.py:74-160), keyed by architecture name instead of HF classes.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from smoothquant_tpu.models import llama, opt
+from smoothquant_tpu.quant.config import QuantConfig
+from smoothquant_tpu.quant.smooth import smooth_model as _smooth_model
+
+_ARCHES = {}
+
+
+def register_arch(name, module):
+    _ARCHES[name] = module
+
+
+register_arch("llama", llama)
+register_arch("mistral", llama)  # llama-like (fake_quant.py:765)
+register_arch("opt", opt)
+
+
+def get_arch(name: str):
+    try:
+        return _ARCHES[name]
+    except KeyError:
+        raise ValueError(
+            f"Unsupported model architecture: {name!r} (supported: {sorted(_ARCHES)})"
+        ) from None
+
+
+def quantize_model(
+    arch: str,
+    params: dict,
+    cfg,
+    qcfg: QuantConfig,
+    input_feat: Optional[dict] = None,
+) -> dict:
+    """Offline weight quantization for any registered architecture."""
+    return get_arch(arch).quantize_params(params, cfg, qcfg, input_feat)
+
+
+def smooth_lm(arch: str, params: dict, cfg, act_scales: dict, alpha: float = 0.5) -> dict:
+    """Apply SmoothQuant smoothing for any registered architecture."""
+    m = get_arch(arch)
+    return _smooth_model(params, m.smoothing_map(cfg), act_scales, alpha)
