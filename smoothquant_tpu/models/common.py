@@ -113,24 +113,35 @@ def apply_rotary(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
 
 
 class KVCache(NamedTuple):
-    """Static-shape decode cache: k/v (B, max_len, n_kv_heads, head_dim)."""
+    """Static-shape decode cache: k/v (B, max_len, n_kv_heads, head_dim).
+
+    pos is either a scalar (all rows aligned — the simple generate path) or
+    per-slot (B,) for continuous batching, where each slot's sequence has its
+    own length.
+    """
 
     k: jax.Array
     v: jax.Array
-    pos: jax.Array  # scalar int32: number of valid positions already written
+    pos: jax.Array  # () or (B,) int32: valid positions already written
 
     @classmethod
-    def create(cls, batch: int, max_len: int, n_kv_heads: int, head_dim: int, dtype):
+    def create(cls, batch: int, max_len: int, n_kv_heads: int, head_dim: int,
+               dtype, per_slot: bool = False):
         shape = (batch, max_len, n_kv_heads, head_dim)
-        return cls(
-            k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
-            pos=jnp.zeros((), jnp.int32),
-        )
+        pos = jnp.zeros((batch,) if per_slot else (), jnp.int32)
+        return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype), pos=pos)
 
     def update(self, k_new: jax.Array, v_new: jax.Array) -> "KVCache":
         """Append k/v for the current step(s) at self.pos."""
-        k = jax.lax.dynamic_update_slice(self.k, k_new, (0, self.pos, 0, 0))
-        v = jax.lax.dynamic_update_slice(self.v, v_new, (0, self.pos, 0, 0))
+        if self.pos.ndim == 0:
+            k = jax.lax.dynamic_update_slice(self.k, k_new, (0, self.pos, 0, 0))
+            v = jax.lax.dynamic_update_slice(self.v, v_new, (0, self.pos, 0, 0))
+        else:
+            upd = jax.vmap(
+                lambda buf, new, p: jax.lax.dynamic_update_slice(buf, new, (p, 0, 0))
+            )
+            k = upd(self.k, k_new, self.pos)
+            v = upd(self.v, v_new, self.pos)
         return KVCache(k=k, v=v, pos=self.pos + k_new.shape[1])
 
 
@@ -149,8 +160,9 @@ def attention(
     q: (B, Sq, n_heads, d); k/v: (B, Sk, n_kv_heads, d).  kv heads are
     repeated to match q heads.  Query position i attends to key positions
     j <= i + causal_offset; positions >= valid_len (if given) are masked
-    (used with a pre-allocated KV cache).  attn_mask: optional (B, Sk) of
-    {0,1} marking valid key positions (padding mask).
+    (used with a pre-allocated KV cache).  causal_offset and valid_len may
+    be scalars or per-batch (B,) arrays (continuous batching).  attn_mask:
+    optional (B, Sk) of {0,1} marking valid key positions (padding mask).
     Softmax in float32 (matching the reference INT8 path, opt.py:168-189).
     """
     b, sq, nh, d = q.shape
@@ -167,12 +179,16 @@ def attention(
     scores = scores * scale
 
     sk = k.shape[1]
-    qi = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 0)
-    kj = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 1)
-    mask = kj <= qi + causal_offset
+    qi = jax.lax.broadcasted_iota(jnp.int32, (1, 1, sq, sk), 2)
+    kj = jax.lax.broadcasted_iota(jnp.int32, (1, 1, sq, sk), 3)
+
+    def per_batch(x):
+        x = jnp.asarray(x)
+        return x.reshape(-1, 1, 1, 1) if x.ndim == 1 else x
+
+    mask = kj <= qi + per_batch(causal_offset)
     if valid_len is not None:
-        mask = jnp.logical_and(mask, kj < valid_len)
-    mask = mask[None, None, :, :]
+        mask = jnp.logical_and(mask, kj < per_batch(valid_len))
     if attn_mask is not None:
         mask = jnp.logical_and(mask, attn_mask[:, None, None, :].astype(bool))
     scores = jnp.where(mask, scores, NEG_INF)

@@ -197,6 +197,9 @@ def forward(
     x = jnp.take(params["embed_tokens"]["weight"], input_ids, axis=0)
     if positions is None:
         start = caches[0].pos if caches is not None else 0
+        start = jnp.asarray(start)
+        if start.ndim == 1:  # per-slot cache positions (continuous batching)
+            start = start[:, None]
         positions = start + jax.lax.broadcasted_iota(jnp.int32, (b, s), 1)
     cos, sin = rotary_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
 

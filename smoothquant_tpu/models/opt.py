@@ -166,6 +166,9 @@ def forward(
         x = x @ params["project_in"]["weight"].T.astype(x.dtype)
     if positions is None:
         start = caches[0].pos if caches is not None else 0
+        start = jnp.asarray(start)
+        if start.ndim == 1:  # per-slot cache positions (continuous batching)
+            start = start[:, None]
         positions = start + jax.lax.broadcasted_iota(jnp.int32, (b, s), 1)
     pos_emb = jnp.take(params["embed_positions"]["weight"], positions + POS_OFFSET, axis=0)
     x = x + pos_emb.astype(x.dtype)

@@ -1,0 +1,2 @@
+from smoothquant_tpu.serve.batching import ContinuousBatcher, Request
+from smoothquant_tpu.serve.generate import GenerationConfig, Generator, sample_token

@@ -1,0 +1,179 @@
+"""Continuous batching engine — slot-based dynamic batching over a shared
+static KV cache.
+
+New capability vs the reference (which never serves; SURVEY.md §5): requests
+with different prompt lengths and arrival times share one decode batch.
+Design for TPU/XLA:
+
+  * all shapes static: a fixed pool of `max_batch` slots over per-slot-pos
+    KV caches (KVCache with pos (B,)); prompts are right-padded to a small
+    set of bucket lengths so prefill compiles once per bucket;
+  * padded cache positions are masked forever via a host-maintained
+    key-validity mask (passed as attn_mask), and rotary/learned positions
+    use true sequence lengths, so padding never changes numerics;
+  * one jitted decode step advances every active slot; finished slots are
+    refilled from the queue between steps (host-side control, device-side
+    compute).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smoothquant_tpu.models.common import ForwardContext, KVCache
+
+
+@dataclasses.dataclass
+class Request:
+    uid: int
+    prompt: np.ndarray              # (S,) int32
+    max_new_tokens: int = 32
+    eos_token_id: Optional[int] = None
+    generated: list = dataclasses.field(default_factory=list)
+    done: bool = False
+
+
+def _bucket(n: int, buckets=(32, 64, 128, 256, 512, 1024, 2048)) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    raise ValueError(f"prompt length {n} exceeds largest bucket")
+
+
+class ContinuousBatcher:
+    def __init__(self, model_mod, params, cfg, quant=None, *,
+                 max_batch: int = 4, max_len: int = 512, kv_dtype=None):
+        self.mod, self.params, self.cfg = model_mod, params, cfg
+        self.ctx = ForwardContext(quant=quant)
+        self.max_batch, self.max_len = max_batch, max_len
+        self.kv_dtype = kv_dtype or jnp.dtype(cfg.dtype)
+        n_kv = getattr(cfg, "num_key_value_heads", cfg.num_attention_heads)
+        self._n_kv = n_kv
+
+        self.caches = [
+            KVCache.create(max_batch, max_len, n_kv, cfg.head_dim,
+                           self.kv_dtype, per_slot=True)
+            for _ in range(cfg.num_hidden_layers)
+        ]
+        self.key_valid = np.zeros((max_batch, max_len), bool)
+        self.seq_pos = np.zeros(max_batch, np.int32)   # true sequence lengths
+        self.slot_req: list[Optional[Request]] = [None] * max_batch
+        self.queue: list[Request] = []
+        self._steps = 0
+
+        @jax.jit
+        def _prefill(params, ids):
+            # fresh single-row cache for one slot's prompt
+            caches = [
+                KVCache.create(1, ids.shape[1], n_kv, cfg.head_dim, self.kv_dtype)
+                for _ in range(cfg.num_hidden_layers)
+            ]
+            logits, caches = self.mod.forward(params, ids, cfg, ctx=self.ctx,
+                                              caches=caches)
+            return logits, [(c.k[0], c.v[0]) for c in caches]
+
+        @jax.jit
+        def _scatter(caches, kv_rows, slot, new_pos):
+            out = []
+            for c, (k_row, v_row) in zip(caches, kv_rows):
+                s = k_row.shape[0]
+                k = jax.lax.dynamic_update_slice(
+                    c.k, k_row[None].astype(c.k.dtype), (slot, 0, 0, 0))
+                v = jax.lax.dynamic_update_slice(
+                    c.v, v_row[None].astype(c.v.dtype), (slot, 0, 0, 0))
+                pos = c.pos.at[slot].set(new_pos)
+                out.append(KVCache(k=k, v=v, pos=pos))
+            return out
+
+        @jax.jit
+        def _decode(params, tok, caches, positions, key_valid):
+            logits, caches = self.mod.forward(
+                params, tok[:, None], cfg, ctx=self.ctx, caches=caches,
+                positions=positions[:, None], attn_mask=key_valid,
+            )
+            return logits[:, -1, :], caches
+
+        self._prefill, self._scatter, self._decode = _prefill, _scatter, _decode
+
+    # ------------------------------------------------------------------ API
+
+    def submit(self, req: Request) -> None:
+        if len(req.prompt) + req.max_new_tokens > self.max_len:
+            raise ValueError("request exceeds max_len")
+        self.queue.append(req)
+
+    def _admit(self) -> None:
+        for slot in range(self.max_batch):
+            if self.slot_req[slot] is not None or not self.queue:
+                continue
+            req = self.queue.pop(0)
+            s_true = len(req.prompt)
+            s_pad = _bucket(s_true)
+            ids = np.zeros((1, s_pad), np.int32)
+            ids[0, :s_true] = req.prompt
+            logits, kv_rows = self._prefill(self.params, jnp.asarray(ids))
+            # pad rows must never be attended to; cache pos advances past them
+            self.caches = self._scatter(self.caches, kv_rows,
+                                        jnp.int32(slot), jnp.int32(s_pad))
+            self.key_valid[slot, :] = False
+            self.key_valid[slot, :s_true] = True
+            self.seq_pos[slot] = s_true
+            self.slot_req[slot] = req
+            # first generated token comes from the last TRUE prompt position
+            first = int(np.argmax(np.asarray(logits)[0, s_true - 1]))
+            self._emit(slot, first)
+
+    def _emit(self, slot: int, token: int) -> None:
+        req = self.slot_req[slot]
+        req.generated.append(token)
+        if (token == req.eos_token_id
+                or len(req.generated) >= req.max_new_tokens):
+            req.done = True
+            self.slot_req[slot] = None
+            self.key_valid[slot, :] = False
+            self.seq_pos[slot] = 0
+
+    def step(self) -> list[Request]:
+        """Admit queued requests, run one decode step, return finished."""
+        self._admit()
+        active = [s for s in range(self.max_batch) if self.slot_req[s] is not None]
+        if not active:
+            return []
+
+        tok = np.zeros(self.max_batch, np.int32)
+        for s in active:
+            tok[s] = self.slot_req[s].generated[-1]
+        # mark the incoming token's cache position valid for every active slot
+        cache_pos = np.asarray(self.caches[0].pos)
+        for s in active:
+            self.key_valid[s, cache_pos[s]] = True
+
+        logits, self.caches = self._decode(
+            self.params, jnp.asarray(tok), self.caches,
+            jnp.asarray(self.seq_pos), jnp.asarray(self.key_valid),
+        )
+        self._steps += 1
+        logits_np = np.asarray(logits)
+
+        finished = []
+        for s in active:
+            self.seq_pos[s] += 1
+            nxt = int(np.argmax(logits_np[s]))
+            req = self.slot_req[s]
+            self._emit(s, nxt)
+            if req.done:
+                finished.append(req)
+        return finished
+
+    def run_to_completion(self, max_steps: int = 10_000) -> list[Request]:
+        done = []
+        for _ in range(max_steps):
+            done.extend(self.step())
+            if not self.queue and all(r is None for r in self.slot_req):
+                break
+        return done

@@ -1,0 +1,66 @@
+"""Honest device timing over the axon TPU tunnel.
+
+Two gotchas make naive timing lie here:
+  1. jax.block_until_ready returns before remote execution completes on the
+     tunneled backend — only a host fetch (float()/np.asarray) synchronizes.
+  2. repeated identical executions can be memoized upstream, so iterations
+     must be data-dependent on the previous result.
+
+time_steps() therefore runs K chained iterations inside ONE jitted fori_loop
+(so a single ~27 ms tunnel roundtrip covers all K steps) and differences two
+iteration counts to cancel the roundtrip + dispatch constant.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+
+def time_steps(
+    step: Callable,
+    args,
+    iters: int = 8,
+    baseline_iters: int = 2,
+    warmup: bool = True,
+) -> float:
+    """Seconds per call of step(*args).
+
+    step must return an array; its mean is chained into a dummy additive
+    perturbation of the first (integer) arg to serialize iterations.
+    """
+
+    def chained(n_iters):
+        @jax.jit
+        def run(*a):
+            first = a[0]
+
+            def body(i, carry):
+                s = carry
+                # data-dependence on previous step (min(s,0) == 0 numerically)
+                bump = jnp.minimum(s, 0.0).astype(first.dtype)
+                out = step(first + bump + (i * 0).astype(first.dtype), *a[1:])
+                return jnp.mean(out).astype(jnp.float32)
+
+            return jax.lax.fori_loop(0, n_iters, body, jnp.float32(0.0))
+
+        return run
+
+    run_big = chained(iters + baseline_iters)
+    run_small = chained(baseline_iters)
+    if warmup:
+        float(run_big(*args))
+        float(run_small(*args))
+
+    t0 = time.perf_counter()
+    float(run_small(*args))
+    t_small = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    float(run_big(*args))
+    t_big = time.perf_counter() - t0
+
+    return max(t_big - t_small, 1e-9) / iters
