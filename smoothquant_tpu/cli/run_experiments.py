@@ -1,0 +1,119 @@
+"""The flagship sweep — run_experiments/run_experiments.py equivalent.
+
+For each (salient_prop × group_size) cell: fresh quantization of the model
+at W4A4 sorted-group granularity with calibrated salience, WikiText-2-style
+PPL, and analytic model size; results to JSON and optional matplotlib plots
+(run_experiments.py:125-272 produced the README/§6 numbers this way).
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model_path", type=str, required=True)
+    p.add_argument("--group_sizes", type=int, nargs="+",
+                   default=[4, 8, 16, 32, 64, 128, 256])
+    p.add_argument("--salient_props", type=float, nargs="+",
+                   default=[0.0, 0.01, 0.05, 0.1])
+    p.add_argument("--quant_bits", type=int, default=4)
+    p.add_argument("--n_samples", type=int, default=40)
+    p.add_argument("--window", type=int, default=2048)
+    p.add_argument("--calib_samples", type=int, default=256)
+    p.add_argument("--calib_seq_len", type=int, default=512)
+    p.add_argument("--output_dir", type=str, default="figures")
+    p.add_argument("--plots", action="store_true")
+    p.add_argument("--dtype", default=None)
+    p.add_argument("--tokens_path", type=str, default=None)
+    p.add_argument("--calib_tokens_path", type=str, default=None,
+                   help="separate calibration stream (reference uses wikitext VALIDATION)")
+    p.add_argument("--dataset_path", type=str, default=None)
+    p.add_argument("--tokenizer_path", type=str, default=None)
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    import numpy as np
+
+    from smoothquant_tpu.cli.common import calib_batches, forward_fn, load_token_stream
+    from smoothquant_tpu.eval import Evaluator, count_params, get_model_size_bits, bits_to_mib
+    from smoothquant_tpu.models.registry import quantize_model
+    from smoothquant_tpu.quant import w4a4_group
+    from smoothquant_tpu.quant.calibrate import get_calib_feat
+    from smoothquant_tpu.utils.hf_import import load_model
+
+    arch, cfg, params = load_model(args.model_path, dtype=args.dtype)
+    tokens = load_token_stream(args)
+    calib_tokens = (np.load(args.calib_tokens_path).reshape(-1).astype(np.int32)
+                    if args.calib_tokens_path else tokens)
+    evaluator = Evaluator(tokens, n_samples=args.n_samples, window=args.window)
+    n_params = count_params(params)
+
+    # calibrated importance once (the reference recalibrates per cell on the
+    # same data — identical result, wasted compute; we hoist it)
+    _, tapped = forward_fn(arch, cfg)
+    batches = calib_batches(calib_tokens, args.calib_samples, args.calib_seq_len)
+    input_feat = get_calib_feat(tapped, params, batches)
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    results = []
+    for sp in args.salient_props:
+        for g in args.group_sizes:
+            qcfg = w4a4_group(group_size=g, salient_prop=sp)
+            qcfg = type(qcfg)(**{**qcfg.__dict__, "quant_bits": args.quant_bits})
+            qparams = quantize_model(arch, params, cfg, qcfg,
+                                     input_feat=input_feat if sp > 0 else None)
+            logits_fn, _ = forward_fn(arch, cfg, quant=qcfg)
+            ppl = evaluator.evaluate(functools.partial(logits_fn, qparams))
+            size_mib = bits_to_mib(get_model_size_bits(
+                n_params, args.quant_bits, sp, g))
+            row = {"salient_prop": sp, "group_size": g, "ppl": ppl,
+                   "size_mib": size_mib}
+            results.append(row)
+            print(json.dumps(row), flush=True)
+
+    out_json = os.path.join(args.output_dir, "results.json")
+    with open(out_json, "w") as f:
+        json.dump({"model": args.model_path, "arch": arch,
+                   "quant_bits": args.quant_bits, "results": results}, f, indent=2)
+    print(f"wrote {out_json}")
+
+    if args.plots:
+        _plot(results, args.output_dir)
+
+
+def _plot(results, output_dir: str) -> None:
+    """PPL-vs-group-size and PPL-vs-size plots (run_experiments.py:192-253)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    props = sorted({r["salient_prop"] for r in results})
+    fig, ax = plt.subplots(1, 2, figsize=(12, 5))
+    for sp in props:
+        rows = sorted((r for r in results if r["salient_prop"] == sp),
+                      key=lambda r: r["group_size"])
+        ax[0].plot([r["group_size"] for r in rows], [r["ppl"] for r in rows],
+                   marker="o", label=f"salient={sp:g}")
+        ax[1].plot([r["size_mib"] for r in rows], [r["ppl"] for r in rows],
+                   marker="o", label=f"salient={sp:g}")
+    ax[0].set_xscale("log", base=2)
+    ax[0].set_xlabel("group size"); ax[0].set_ylabel("perplexity")
+    ax[1].set_xlabel("model size (MiB)"); ax[1].set_ylabel("perplexity")
+    for a in ax:
+        a.set_yscale("log"); a.legend(); a.grid(True, alpha=0.3)
+    fig.tight_layout()
+    path = f"{output_dir}/ppl_sweep.png"
+    fig.savefig(path, dpi=120)
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -166,3 +166,51 @@ def quantize_activations_packed(
     if meta.num_salient:
         x_sal = x_sal.at[:, : meta.num_salient].set(x_perm[:, k_ns_raw:])
     return x_ns_q, x_sal
+
+
+def quantize_activations_packed_int(
+    x_perm: jax.Array, meta: PackedMeta, cfg: QuantConfig
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Integer-domain variant for the int-compute kernel.
+
+    Returns (x_q int8 (N, k_ns), x_scales f32 (N, G_w), x_sal) where G_w =
+    k_ns // meta.group_size and the activation scale is constant within each
+    weight group (required for the output-side scale factorization).  The
+    dequantized product x_q * x_scales reproduces quantize_activations_packed
+    bit-for-bit for per_token / per_tensor / matching per_group recipes.
+    """
+    from smoothquant_tpu.quant.core import compute_scale
+
+    n = x_perm.shape[0]
+    k_ns_raw = meta.in_features - meta.num_salient
+    g_w = meta.k_ns // meta.group_size
+    x_ns = x_perm[:, :k_ns_raw]
+    if meta.k_ns != k_ns_raw:
+        x_ns = jnp.pad(x_ns, ((0, 0), (0, meta.k_ns - k_ns_raw)))
+    xf = x_ns.astype(jnp.float32)
+
+    if cfg.act_quant == "per_token":
+        absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+        scales = compute_scale(absmax, cfg.quant_bits)          # (N, 1)
+        x_q = jnp.round(xf / scales).astype(jnp.int8)
+        x_scales = jnp.broadcast_to(scales, (n, g_w))
+    elif cfg.act_quant == "per_tensor":
+        scale = compute_scale(jnp.max(jnp.abs(xf)), cfg.quant_bits)
+        x_q = jnp.round(xf / scale).astype(jnp.int8)
+        x_scales = jnp.broadcast_to(scale, (n, g_w))
+    else:  # per-group: activation groups must align with weight groups
+        if cfg.group_size != meta.group_size:
+            raise ValueError(
+                f"int-compute path needs act group_size == weight group_size "
+                f"({cfg.group_size} != {meta.group_size})"
+            )
+        xg = xf.reshape(n, g_w, meta.group_size)
+        absmax = jnp.max(jnp.abs(xg), axis=-1, keepdims=True)
+        scales = compute_scale(absmax, cfg.quant_bits)          # (N, G, 1)
+        x_q = jnp.round(xg / scales).astype(jnp.int8).reshape(n, meta.k_ns)
+        x_scales = scales[..., 0]
+
+    x_sal = jnp.zeros((n, meta.k_s), x_perm.dtype)
+    if meta.num_salient:
+        x_sal = x_sal.at[:, : meta.num_salient].set(x_perm[:, k_ns_raw:])
+    return x_q, x_scales.astype(jnp.float32), x_sal

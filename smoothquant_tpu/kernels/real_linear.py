@@ -12,9 +12,24 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from smoothquant_tpu.kernels.pack import PackedLinear, quantize_activations_packed
+from smoothquant_tpu.kernels.int_group_matmul import int_group_matmul
+from smoothquant_tpu.kernels.pack import (
+    PackedLinear,
+    quantize_activations_packed,
+    quantize_activations_packed_int,
+)
 from smoothquant_tpu.kernels.quant_matmul import dual_path_matmul
 from smoothquant_tpu.quant.config import QuantConfig
+
+# below this many tokens the int8-MXU output-scaled kernel wins (memory
+# bound); above it the dequant kernel's full-depth MXU contractions win
+_INT_PATH_MAX_TOKENS = 256
+
+
+def _int_path_supported(cfg: QuantConfig, meta) -> bool:
+    if cfg.act_quant in ("per_token", "per_tensor"):
+        return True
+    return cfg.group_size == meta.group_size
 
 
 def real_quant_linear(
@@ -22,30 +37,51 @@ def real_quant_linear(
     x: jax.Array,
     cfg: QuantConfig,
     *,
+    compute: str = "auto",  # "auto" | "dequant" | "int"
     interpret: bool = False,
     out_dtype=None,
 ) -> jax.Array:
     """y = act_qdq(x) @ W_qdq^T + bias with true int-weight storage.
 
     x: (..., in_features).  Matches the simulated quant_linear numerics in
-    the packed (static-permutation) domain.
+    the packed (static-permutation) domain.  compute picks the kernel:
+    "int" = int8-MXU matmul with output-side scaling (decode-optimal),
+    "dequant" = in-VMEM weight dequant + bf16 MXU (prefill-optimal),
+    "auto" = by token count.
     """
     meta = packed.meta
     shape = x.shape
     x2d = x.reshape(-1, shape[-1])
+    n_tokens = x2d.shape[0]
     x_perm = jnp.take(x2d, packed.perm, axis=-1)
-    x_ns_q, x_sal = quantize_activations_packed(x_perm, meta, cfg)
 
-    y = dual_path_matmul(
-        x_ns_q.astype(x.dtype),
-        x_sal.astype(x.dtype),
-        packed.w_qt,
-        packed.w_scales_t,
-        packed.w_sal_t.astype(x.dtype),
-        group_size=meta.group_size,
-        out_dtype=out_dtype or x.dtype,
-        interpret=interpret,
-    )
+    if compute == "auto":
+        compute = ("int" if n_tokens <= _INT_PATH_MAX_TOKENS
+                   and _int_path_supported(cfg, meta) else "dequant")
+    if compute == "int" and not _int_path_supported(cfg, meta):
+        raise ValueError("int compute path unsupported for this QuantConfig")
+
+    if compute == "int":
+        x_q, x_scales, x_sal = quantize_activations_packed_int(x_perm, meta, cfg)
+        y = int_group_matmul(
+            x_q, x_scales, packed.w_qt, packed.w_scales_t,
+            x_sal.astype(x.dtype), packed.w_sal_t.astype(x.dtype),
+            group_size=meta.group_size,
+            out_dtype=out_dtype or x.dtype,
+            interpret=interpret,
+        )
+    else:
+        x_ns_q, x_sal = quantize_activations_packed(x_perm, meta, cfg)
+        y = dual_path_matmul(
+            x_ns_q.astype(x.dtype),
+            x_sal.astype(x.dtype),
+            packed.w_qt,
+            packed.w_scales_t,
+            packed.w_sal_t.astype(x.dtype),
+            group_size=meta.group_size,
+            out_dtype=out_dtype or x.dtype,
+            interpret=interpret,
+        )
     if packed.bias is not None:
         y = y + packed.bias.astype(y.dtype)
     return y.reshape(*shape[:-1], meta.out_features)

@@ -1,0 +1,301 @@
+"""Mixtral (sparse MoE) decoder — functional JAX.
+
+Llama-style attention (GQA, RoPE) + top-2 expert routing.  Quantization
+surgery mirrors quantize_mixtral (fake_quant.py:564-668): per expert w1/w2/w3,
+attention projections, and the MoE router gate.  Smoothing mirrors
+smooth_lm's Mixtral branch (smooth.py:142-160): post_attention_layernorm →
+[gate] + every expert's w1 and w3.
+
+Routing is computed exactly as HF (softmax over router logits, top-2,
+renormalized); expert execution is dense-weighted (every expert computed,
+weighted by routing probs) — numerically identical to sparse dispatch and
+XLA-friendly; capacity-based sparse dispatch is a serving optimization to
+layer on later (expert parallelism over the mesh).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smoothquant_tpu.models.common import (
+    ForwardContext,
+    KVCache,
+    apply_rotary,
+    attention,
+    call_linear,
+    rms_norm,
+    rotary_cos_sin,
+    unembed,
+)
+from smoothquant_tpu.quant.config import QuantConfig
+from smoothquant_tpu.quant.linear import quantize_linear_params
+
+
+@dataclasses.dataclass(frozen=True)
+class MixtralConfig:
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 14336
+    num_hidden_layers: int = 32
+    num_attention_heads: int = 32
+    num_key_value_heads: int = 8
+    num_local_experts: int = 8
+    num_experts_per_tok: int = 2
+    max_position_embeddings: int = 32768
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 1e6
+    tie_word_embeddings: bool = False
+    dtype: str = "bfloat16"
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+    @classmethod
+    def tiny(cls, vocab_size: int = 256) -> "MixtralConfig":
+        return cls(vocab_size=vocab_size, hidden_size=64, intermediate_size=96,
+                   num_hidden_layers=2, num_attention_heads=4,
+                   num_key_value_heads=2, num_local_experts=4,
+                   max_position_embeddings=128, dtype="float32")
+
+
+ATTN_PROJS = ("q_proj", "k_proj", "v_proj", "o_proj")
+EXPERT_PROJS = ("w1", "w2", "w3")
+
+
+def init_params(key: jax.Array, cfg: MixtralConfig) -> dict:
+    dtype = jnp.dtype(cfg.dtype)
+    h, inter = cfg.hidden_size, cfg.intermediate_size
+    kv_dim = cfg.num_key_value_heads * cfg.head_dim
+    n_keys = 4 + cfg.num_hidden_layers * (5 + 3 * cfg.num_local_experts)
+    keys = iter(jax.random.split(key, n_keys))
+
+    def lin(k, out_f, in_f):
+        return {"weight": jax.random.normal(k, (out_f, in_f), dtype) * (in_f ** -0.5),
+                "bias": None}
+
+    layers = {}
+    for i in range(cfg.num_hidden_layers):
+        experts = {
+            str(e): {
+                "w1": lin(next(keys), inter, h),
+                "w2": lin(next(keys), h, inter),
+                "w3": lin(next(keys), inter, h),
+            }
+            for e in range(cfg.num_local_experts)
+        }
+        layers[str(i)] = {
+            "input_layernorm": {"weight": jnp.ones((h,), dtype)},
+            "post_attention_layernorm": {"weight": jnp.ones((h,), dtype)},
+            "self_attn": {
+                "q_proj": lin(next(keys), h, h),
+                "k_proj": lin(next(keys), kv_dim, h),
+                "v_proj": lin(next(keys), kv_dim, h),
+                "o_proj": lin(next(keys), h, h),
+            },
+            "block_sparse_moe": {
+                "gate": lin(next(keys), cfg.num_local_experts, h),
+                "experts": experts,
+            },
+        }
+    return {
+        "embed_tokens": {"weight": jax.random.normal(next(keys), (cfg.vocab_size, h), dtype) * 0.02},
+        "layers": layers,
+        "norm": {"weight": jnp.ones((h,), dtype)},
+        "lm_head": lin(next(keys), cfg.vocab_size, h),
+    }
+
+
+def _moe_block(bp: dict, x: jax.Array, cfg: MixtralConfig, layer_name: str,
+               ctx: Optional[ForwardContext]) -> jax.Array:
+    b, s, h = x.shape
+    router_logits = call_linear(bp["gate"], x, f"{layer_name}.gate", ctx)
+    probs = jax.nn.softmax(router_logits.astype(jnp.float32), axis=-1)
+    top_p, top_idx = jax.lax.top_k(probs, cfg.num_experts_per_tok)
+    top_p = top_p / jnp.sum(top_p, axis=-1, keepdims=True)  # renormalize (HF)
+    # dense per-token expert weights: (B, S, E)
+    one_hot = jax.nn.one_hot(top_idx, cfg.num_local_experts, dtype=probs.dtype)
+    weights = jnp.sum(one_hot * top_p[..., None], axis=-2)  # (B, S, E)
+
+    out = jnp.zeros_like(x, dtype=jnp.float32)
+    for e in range(cfg.num_local_experts):
+        ep = bp["experts"][str(e)]
+        pre = f"{layer_name}.experts.{e}"
+        g = call_linear(ep["w1"], x, f"{pre}.w1", ctx)
+        u = call_linear(ep["w3"], x, f"{pre}.w3", ctx)
+        y = call_linear(ep["w2"], jax.nn.silu(g) * u, f"{pre}.w2", ctx)
+        out = out + y.astype(jnp.float32) * weights[..., e : e + 1]
+    return out.astype(x.dtype)
+
+
+def forward(
+    params: dict,
+    input_ids: jax.Array,
+    cfg: MixtralConfig,
+    ctx: Optional[ForwardContext] = None,
+    caches: Optional[list[KVCache]] = None,
+    positions: Optional[jax.Array] = None,
+    attn_mask: Optional[jax.Array] = None,
+) -> tuple[jax.Array, Optional[list[KVCache]]]:
+    b, s = input_ids.shape
+    x = jnp.take(params["embed_tokens"]["weight"], input_ids, axis=0)
+    if positions is None:
+        start = jnp.asarray(caches[0].pos if caches is not None else 0)
+        if start.ndim == 1:
+            start = start[:, None]
+        positions = start + jax.lax.broadcasted_iota(jnp.int32, (b, s), 1)
+    cos, sin = rotary_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+
+    nh, n_kv, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    new_caches = [] if caches is not None else None
+    for i in range(cfg.num_hidden_layers):
+        lp = params["layers"][str(i)]
+        name = f"model.layers.{i}"
+        cache = caches[i] if caches is not None else None
+
+        residual = x
+        hidden = rms_norm(lp["input_layernorm"], x, cfg.rms_norm_eps)
+        sa = lp["self_attn"]
+        q = call_linear(sa["q_proj"], hidden, f"{name}.self_attn.q_proj", ctx, True)
+        k = call_linear(sa["k_proj"], hidden, f"{name}.self_attn.k_proj", ctx, True)
+        v = call_linear(sa["v_proj"], hidden, f"{name}.self_attn.v_proj", ctx, True)
+        q = apply_rotary(q.reshape(b, s, nh, d), cos, sin)
+        k = apply_rotary(k.reshape(b, s, n_kv, d), cos, sin)
+        v = v.reshape(b, s, n_kv, d)
+        if cache is not None:
+            offset = cache.pos
+            cache = cache.update(k, v)
+            a = attention(q, cache.k, cache.v, causal_offset=offset,
+                          valid_len=cache.pos, attn_mask=attn_mask)
+        else:
+            a = attention(q, k, v, attn_mask=attn_mask)
+        x = residual + call_linear(sa["o_proj"], a.reshape(b, s, nh * d),
+                                   f"{name}.self_attn.o_proj", ctx)
+
+        residual = x
+        hidden = rms_norm(lp["post_attention_layernorm"], x, cfg.rms_norm_eps)
+        x = residual + _moe_block(lp["block_sparse_moe"], hidden, cfg,
+                                  f"{name}.block_sparse_moe", ctx)
+        if new_caches is not None:
+            new_caches.append(cache)
+
+    x = rms_norm(params["norm"], x, cfg.rms_norm_eps)
+    if cfg.tie_word_embeddings or "lm_head" not in params:
+        logits = unembed(x, params["embed_tokens"]["weight"])
+    else:
+        logits = jnp.einsum("bsh,vh->bsv", x,
+                            params["lm_head"]["weight"].astype(x.dtype),
+                            preferred_element_type=jnp.float32)
+    return logits, new_caches
+
+
+def quantize_params(params: dict, cfg: MixtralConfig, qcfg: QuantConfig,
+                    input_feat: Optional[dict] = None) -> dict:
+    """quantize_mixtral equivalent (fake_quant.py:564-668)."""
+    new_layers = {}
+    for i in range(cfg.num_hidden_layers):
+        lp = dict(params["layers"][str(i)])
+        prefix = f"model.layers.{i}"
+
+        def imp(name):
+            return None if input_feat is None else np.asarray(input_feat[name])
+
+        sa = dict(lp["self_attn"])
+        for p in ATTN_PROJS:
+            sa[p] = quantize_linear_params(sa[p], qcfg, imp(f"{prefix}.self_attn.{p}"))
+        moe = dict(lp["block_sparse_moe"])
+        moe["gate"] = quantize_linear_params(
+            moe["gate"], qcfg, imp(f"{prefix}.block_sparse_moe.gate"))
+        experts = {}
+        for e in range(cfg.num_local_experts):
+            ep = dict(moe["experts"][str(e)])
+            for p in EXPERT_PROJS:
+                ep[p] = quantize_linear_params(
+                    ep[p], qcfg,
+                    imp(f"{prefix}.block_sparse_moe.experts.{e}.{p}"))
+            experts[str(e)] = ep
+        moe["experts"] = experts
+        lp["self_attn"], lp["block_sparse_moe"] = sa, moe
+        new_layers[str(i)] = lp
+    out = dict(params)
+    out["layers"] = new_layers
+    return out
+
+
+def smoothing_map(cfg: MixtralConfig):
+    """smooth_lm Mixtral branch (smooth.py:142-160)."""
+    pairs = []
+    for i in range(cfg.num_hidden_layers):
+        li = ("layers", str(i))
+        pairs.append((
+            li + ("input_layernorm",),
+            [li + ("self_attn", p) for p in ("q_proj", "k_proj", "v_proj")],
+            f"model.layers.{i}.self_attn.q_proj",
+        ))
+        fcs = [li + ("block_sparse_moe", "gate")]
+        for e in range(cfg.num_local_experts):
+            fcs.append(li + ("block_sparse_moe", "experts", str(e), "w1"))
+            fcs.append(li + ("block_sparse_moe", "experts", str(e), "w3"))
+        pairs.append((
+            li + ("post_attention_layernorm",),
+            fcs,
+            f"model.layers.{i}.block_sparse_moe.gate",
+        ))
+    return pairs
+
+
+def config_from_hf(hf_cfg) -> MixtralConfig:
+    return MixtralConfig(
+        vocab_size=hf_cfg.vocab_size,
+        hidden_size=hf_cfg.hidden_size,
+        intermediate_size=hf_cfg.intermediate_size,
+        num_hidden_layers=hf_cfg.num_hidden_layers,
+        num_attention_heads=hf_cfg.num_attention_heads,
+        num_key_value_heads=hf_cfg.num_key_value_heads,
+        num_local_experts=hf_cfg.num_local_experts,
+        num_experts_per_tok=hf_cfg.num_experts_per_tok,
+        max_position_embeddings=hf_cfg.max_position_embeddings,
+        rms_norm_eps=hf_cfg.rms_norm_eps,
+        rope_theta=getattr(hf_cfg, "rope_theta", 1e6),
+        tie_word_embeddings=getattr(hf_cfg, "tie_word_embeddings", False),
+    )
+
+
+def params_from_hf_state_dict(state: dict, cfg: MixtralConfig, dtype=None) -> dict:
+    dtype = jnp.dtype(dtype or cfg.dtype)
+
+    def arr(name):
+        return jnp.asarray(np.asarray(state[name]), dtype)
+
+    def lin(name):
+        return {"weight": arr(name + ".weight"), "bias": None}
+
+    layers = {}
+    for i in range(cfg.num_hidden_layers):
+        p = f"model.layers.{i}"
+        layers[str(i)] = {
+            "input_layernorm": {"weight": arr(f"{p}.input_layernorm.weight")},
+            "post_attention_layernorm": {"weight": arr(f"{p}.post_attention_layernorm.weight")},
+            "self_attn": {k: lin(f"{p}.self_attn.{k}") for k in ATTN_PROJS},
+            "block_sparse_moe": {
+                "gate": lin(f"{p}.block_sparse_moe.gate"),
+                "experts": {
+                    str(e): {k: lin(f"{p}.block_sparse_moe.experts.{e}.{k}")
+                             for k in EXPERT_PROJS}
+                    for e in range(cfg.num_local_experts)
+                },
+            },
+        }
+    params = {
+        "embed_tokens": {"weight": arr("model.embed_tokens.weight")},
+        "layers": layers,
+        "norm": {"weight": arr("model.norm.weight")},
+    }
+    if "lm_head.weight" in state:
+        params["lm_head"] = {"weight": arr("lm_head.weight"), "bias": None}
+    return params

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from typing import Optional
 
-from smoothquant_tpu.models import llama, opt
+from smoothquant_tpu.models import bloom, falcon, llama, mixtral, opt
 from smoothquant_tpu.quant.config import QuantConfig
 from smoothquant_tpu.quant.smooth import smooth_model as _smooth_model
 
@@ -23,6 +23,9 @@ def register_arch(name, module):
 register_arch("llama", llama)
 register_arch("mistral", llama)  # llama-like (fake_quant.py:765)
 register_arch("opt", opt)
+register_arch("mixtral", mixtral)
+register_arch("falcon", falcon)
+register_arch("bloom", bloom)  # smoothing in reference; quant is our extension
 
 
 def get_arch(name: str):

@@ -1,0 +1,127 @@
+"""Checkpoint save/load for quantized models.
+
+The reference's persistence is torch.save of act scales and HF
+save_pretrained of the int8 model (SURVEY.md §5 "checkpoint/resume").  Here
+checkpoints are flat .npz archives keyed by pytree paths — portable,
+torch-free, and covering the full quantized state: int weights, group
+scales, channel permutations, salient indices, fp embeddings.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+
+import jax
+import numpy as np
+
+
+def _flatten(tree, prefix="", out=None):
+    out = {} if out is None else out
+    if tree is None:
+        return out
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            _flatten(v, f"{prefix}{k}/", out)
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            _flatten(v, f"{prefix}{i}/", out)
+    elif dataclasses.is_dataclass(tree):
+        for f in dataclasses.fields(tree):
+            _flatten(getattr(tree, f.name), f"{prefix}{f.name}/", out)
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def save_pytree(tree, path: str) -> None:
+    np.savez(path, **_flatten(tree))
+
+
+def load_flat(path: str) -> dict:
+    with np.load(path) as z:
+        return {k: z[k] for k in z.files}
+
+
+def unflatten(flat: dict) -> dict:
+    """Rebuild a nested dict (lists come back as dicts keyed by index str)."""
+    root: dict = {}
+    for key, v in flat.items():
+        parts = key.split("/")
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return root
+
+
+def save_params(params: dict, path: str) -> None:
+    """Save a model params pytree (fp or simulated-quantized)."""
+    save_pytree(params, path)
+
+
+def load_params(path: str, dtype=None) -> dict:
+    import jax.numpy as jnp
+
+    flat = load_flat(path)
+    nested = unflatten(flat)
+
+    def to_jnp(x):
+        if isinstance(x, dict):
+            return {k: to_jnp(v) for k, v in x.items()}
+        arr = jnp.asarray(x)
+        if dtype is not None and arr.dtype in (jnp.float32, jnp.float16, jnp.bfloat16):
+            arr = arr.astype(dtype)
+        return arr
+
+    return to_jnp(nested)
+
+
+# ---------------------------------------------------------------------------
+# INT8 OPT artifact (export_int8_model CLI)
+# ---------------------------------------------------------------------------
+
+
+def save_int8_opt(int8_params: dict, cfg, path: str) -> None:
+    flat = _flatten(int8_params)
+    flat["__config__"] = np.frombuffer(
+        json.dumps(dataclasses.asdict(cfg)).encode(), dtype=np.uint8
+    )
+    np.savez(path, **flat)
+
+
+def load_int8_opt(path: str):
+    """Returns (cfg, int8_params) ready for models.opt_int8.forward."""
+    import jax.numpy as jnp
+
+    from smoothquant_tpu.models.opt import OPTConfig
+    from smoothquant_tpu.models.opt_int8 import Int8Linear, Int8OPTLayerParams
+
+    flat = load_flat(path)
+    cfg = OPTConfig(**json.loads(bytes(flat.pop("__config__")).decode()))
+    nested = unflatten(flat)
+
+    def lin(d):
+        return Int8Linear(w_q=jnp.asarray(d["w_q"]), bias=jnp.asarray(d["bias"]),
+                          alpha=jnp.asarray(d["alpha"]))
+
+    layers = []
+    raw_layers = nested["int8_layers"]
+    for i in range(len(raw_layers)):
+        d = raw_layers[str(i)]
+        layers.append(Int8OPTLayerParams(
+            ln_attn_gamma=jnp.asarray(d["ln_attn_gamma"]),
+            ln_attn_beta=jnp.asarray(d["ln_attn_beta"]),
+            ln_fc_gamma=jnp.asarray(d["ln_fc_gamma"]),
+            ln_fc_beta=jnp.asarray(d["ln_fc_beta"]),
+            q_proj=lin(d["q_proj"]), k_proj=lin(d["k_proj"]),
+            v_proj=lin(d["v_proj"]), out_proj=lin(d["out_proj"]),
+            fc1=lin(d["fc1"]), fc2=lin(d["fc2"]),
+            scales={k: float(v) for k, v in d["scales"].items()},
+        ))
+    out = {"int8_layers": layers}
+    for k in ("embed_tokens", "embed_positions", "final_layer_norm",
+              "project_in", "project_out"):
+        if k in nested:
+            out[k] = {kk: jnp.asarray(vv) for kk, vv in nested[k].items()}
+    return cfg, out
