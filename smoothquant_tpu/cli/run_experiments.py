@@ -22,6 +22,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--salient_props", type=float, nargs="+",
                    default=[0.0, 0.01, 0.05, 0.1])
     p.add_argument("--quant_bits", type=int, default=4)
+    p.add_argument("--sort", choices=["max", "none"], default="max",
+                   help="group-quant channel ordering: 'max' = absmax-sorted "
+                        "(reference default), 'none' = unsorted — the "
+                        "README.md:55 ablation (19.56 vs 59.98 PPL at g=1024)")
     p.add_argument("--n_samples", type=int, default=40)
     p.add_argument("--window", type=int, default=2048)
     p.add_argument("--calib_samples", type=int, default=256)
@@ -66,7 +70,11 @@ def main(argv=None) -> None:
     for sp in args.salient_props:
         for g in args.group_sizes:
             qcfg = w4a4_group(group_size=g, salient_prop=sp)
-            qcfg = type(qcfg)(**{**qcfg.__dict__, "quant_bits": args.quant_bits})
+            overrides = {"quant_bits": args.quant_bits}
+            if args.sort == "none":
+                overrides.update(weight_quant="per_group_unsorted",
+                                 act_quant="per_group_unsorted")
+            qcfg = type(qcfg)(**{**qcfg.__dict__, **overrides})
             qparams = quantize_model(arch, params, cfg, qcfg,
                                      input_feat=input_feat if sp > 0 else None)
             logits_fn, _ = forward_fn(arch, cfg, quant=qcfg)

@@ -1,0 +1,184 @@
+"""True-int4 (nibble-packed) group matmul — 4 bits/weight in HBM.
+
+Same math as int_group_matmul (int8×int8→int32 MXU per group, output-side
+scale factorization), but the weight rides HBM packed two-per-byte in the
+split-half layout produced by utils/native.pack_nibbles_split: packed byte
+row r of (K/2, O) holds channel r in the low nibble and channel r + K/2 in
+the high nibble, so the two unpacked halves are contiguous channel ranges
+[0, K/2) and [K/2, K).
+
+Each grid K-step loads one packed byte-group block and the *two* matching
+activation/scale blocks (the same array bound twice with different index
+maps — lo at group g, hi at group g + G/2).  Nibbles are sign-extended in
+int32 (shift up, arithmetic shift down) and fed to the MXU as int8.
+
+Constraint: (K/2) % group_size == 0 so groups never straddle the halves.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _unpack_nibbles(packed: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """int8 packed bytes → (lo, hi) int8 int4-range values."""
+    w32 = packed.astype(jnp.int32)
+    lo = jnp.right_shift(jnp.left_shift(w32, 28), 28)
+    hi = jnp.right_shift(jnp.left_shift(w32, 24), 28)
+    return lo.astype(jnp.int8), hi.astype(jnp.int8)
+
+
+def _kernel(x_lo_ref, x_hi_ref, xs_lo_ref, xs_hi_ref, wp_ref,
+            ws_lo_ref, ws_hi_ref, x_sal_ref, w_sal_t_ref, out_ref, *, gpt: int):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _init():
+        out_ref[:] = jax.lax.dot_general(
+            x_sal_ref[:], w_sal_t_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    w_lo, w_hi = _unpack_nibbles(wp_ref[:])  # each (gpt, gs, TO)
+
+    def body(gg, _):
+        p_lo = jax.lax.dot_general(
+            x_lo_ref[gg], w_lo[gg],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+        out_ref[:] += p_lo * xs_lo_ref[gg][:, None] * ws_lo_ref[gg][None, :]
+        p_hi = jax.lax.dot_general(
+            x_hi_ref[gg], w_hi[gg],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+        out_ref[:] += p_hi * xs_hi_ref[gg][:, None] * ws_hi_ref[gg][None, :]
+        return 0
+
+    jax.lax.fori_loop(0, gpt, body, 0, unroll=True)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("group_size", "out_dtype", "tile_o", "tile_g", "interpret"),
+)
+def int4_group_matmul(
+    x_q: jax.Array,        # (N, K) int8 — integer-quantized activations
+    x_scales: jax.Array,   # (N, G) f32
+    w_packed: jax.Array,   # (K/2, O) int8 — split-half nibble-packed weights
+    w_scales_t: jax.Array, # (G, O) f32
+    x_sal: jax.Array,      # (N, K_s) fp salient slice
+    w_sal_t: jax.Array,    # (K_s, O) fp
+    *,
+    group_size: int,
+    out_dtype=jnp.float32,
+    tile_o: int = 512,
+    tile_g: int = 4,       # byte-groups per step (processes 2x groups)
+    interpret: bool = False,
+) -> jax.Array:
+    n, kk = x_q.shape
+    o = w_packed.shape[1]
+    k_s = x_sal.shape[1]
+    g_total = kk // group_size
+    half = kk // 2
+    assert kk % 2 == 0 and half % group_size == 0, (
+        "nibble packing needs (K/2) % group_size == 0"
+    )
+    assert w_packed.shape == (half, o)
+    assert x_scales.shape == (n, g_total)
+    assert w_scales_t.shape == (g_total, o)
+    g_half = g_total // 2
+
+    tile_n = _ceil_to(max(n, 8), 8) if n <= 128 else 128
+    n_pad = _ceil_to(n, tile_n)
+    o_pad = _ceil_to(o, min(tile_o, _ceil_to(o, 128)))
+    tile_o = min(tile_o, o_pad)
+    tile_g = min(tile_g, g_half)
+    g_half_pad = _ceil_to(g_half, tile_g)
+
+    if n_pad != n:
+        x_q = jnp.pad(x_q, ((0, n_pad - n), (0, 0)))
+        x_scales = jnp.pad(x_scales, ((0, n_pad - n), (0, 0)))
+        x_sal = jnp.pad(x_sal, ((0, n_pad - n), (0, 0)))
+    if g_half_pad != g_half:
+        pad_ch = (g_half_pad - g_half) * group_size
+        # pad each half independently to keep the split-half invariant
+        x_lo_part = jnp.pad(x_q[:, :half], ((0, 0), (0, pad_ch)))
+        x_hi_part = jnp.pad(x_q[:, half:], ((0, 0), (0, pad_ch)))
+        x_q = jnp.concatenate([x_lo_part, x_hi_part], axis=1)
+        xs_lo = jnp.pad(x_scales[:, :g_half], ((0, 0), (0, g_half_pad - g_half)))
+        xs_hi = jnp.pad(x_scales[:, g_half:], ((0, 0), (0, g_half_pad - g_half)))
+        x_scales = jnp.concatenate([xs_lo, xs_hi], axis=1)
+        w_packed = jnp.pad(w_packed, ((0, pad_ch), (0, 0)))
+        ws_lo = jnp.pad(w_scales_t[:g_half], ((0, g_half_pad - g_half), (0, 0)))
+        ws_hi = jnp.pad(w_scales_t[g_half:], ((0, g_half_pad - g_half), (0, 0)))
+        w_scales_t = jnp.concatenate([ws_lo, ws_hi], axis=0)
+        half = half + pad_ch
+        g_half = g_half_pad
+        g_total = 2 * g_half
+        kk = 2 * half
+    if o_pad != o:
+        w_packed = jnp.pad(w_packed, ((0, 0), (0, o_pad - o)))
+        w_scales_t = jnp.pad(w_scales_t, ((0, 0), (0, o_pad - o)))
+        w_sal_t = jnp.pad(w_sal_t, ((0, 0), (0, o_pad - o)))
+
+    x3 = x_q.reshape(n_pad, g_total, group_size).transpose(1, 0, 2)  # (G, N, gs)
+    wp3 = w_packed.reshape(g_half, group_size, o_pad)                # (G/2, gs, O)
+    xs_t = x_scales.T                                                # (G, N)
+
+    grid = (n_pad // tile_n, o_pad // tile_o, g_half // tile_g)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, gpt=tile_g),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_g, tile_n, group_size), lambda i, j, k: (k, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_g, tile_n, group_size),
+                         lambda i, j, k, gh=g_half // tile_g: (k + gh, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_g, tile_n), lambda i, j, k: (k, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_g, tile_n),
+                         lambda i, j, k, gh=g_half // tile_g: (k + gh, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_g, group_size, tile_o), lambda i, j, k: (k, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_g, tile_o), lambda i, j, k: (k, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_g, tile_o),
+                         lambda i, j, k, gh=g_half // tile_g: (k + gh, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, k_s), lambda i, j, k: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_s, tile_o), lambda i, j, k: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_n, tile_o), lambda i, j, k: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, o_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_pad * o_pad * (kk + k_s),
+            bytes_accessed=(n_pad * kk + o_pad * kk // 2
+                            + (n_pad + o_pad) * g_total * 4
+                            + (n_pad + o_pad) * k_s * 2 + n_pad * o_pad * 4),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x3, x3, xs_t, xs_t, wp3, w_scales_t, w_scales_t, x_sal, w_sal_t)
+
+    return out[:n, :o].astype(out_dtype)

@@ -23,6 +23,7 @@ path Q-DQs bit-identically to the simulation in the permuted domain.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import jax
@@ -82,8 +83,13 @@ def pack_linear(
     act_absmax: Optional[np.ndarray] = None,
     compute_dtype=jnp.bfloat16,
 ) -> PackedLinear:
-    """Build the packed layout from FP linear params {"weight", "bias"}."""
-    w = np.asarray(params["weight"], dtype=np.float32)
+    """Build the packed layout from FP linear params {"weight", "bias"}.
+
+    Only the permutation/salient selection runs on host (tiny vectors); the
+    heavy permute/pad/quantize work is jitted on device — packing a 7B model
+    is bandwidth-, not Python-, bound.
+    """
+    w = params["weight"]
     o, c = w.shape
 
     k = cfg.num_salient(c) if importance is not None else 0
@@ -96,7 +102,7 @@ def pack_linear(
     if cfg.weight_quant == "per_group" or cfg.act_quant == "per_group":
         key = (np.asarray(act_absmax, np.float64)[ns_idx]
                if act_absmax is not None
-               else np.abs(w).max(axis=0)[ns_idx])
+               else np.asarray(jnp.max(jnp.abs(jnp.asarray(w)), axis=0))[ns_idx])
         ns_idx = ns_idx[np.argsort(key, kind="stable")]
 
     perm = np.concatenate([ns_idx, np.sort(sal_idx)]).astype(np.int32)
@@ -106,27 +112,18 @@ def pack_linear(
     k_ns = _ceil_to(max(k_ns_raw, 1), g)
     k_s = _ceil_to(k, LANE) if k else LANE  # keep a lane-aligned (zero) block
 
-    w_perm = w[:, perm]
-    w_ns = np.zeros((o, k_ns), np.float32)
-    w_ns[:, :k_ns_raw] = w_perm[:, :k_ns_raw]
-    w_sal = np.zeros((o, k_s), np.float32)
-    if k:
-        w_sal[:, :k] = w_perm[:, k_ns_raw:]
-
-    if cfg.weight_quant == "per_tensor":
-        scale = core.compute_scale(jnp.max(jnp.abs(jnp.asarray(w_ns))), cfg.quant_bits)
-        scales = jnp.broadcast_to(scale, (o, k_ns // g)).astype(jnp.float32)
-        q = jnp.round(jnp.asarray(w_ns) / scale).astype(jnp.int8)
-    else:
-        q3, s3 = core.group_quant_params(jnp.asarray(w_ns), cfg.quant_bits, g)
-        q = q3.reshape(o, k_ns)
-        scales = s3.reshape(o, k_ns // g)
+    w_qt, scales_t, w_sal_t = _pack_device(
+        jnp.asarray(w), jnp.asarray(perm),
+        k_ns_raw=k_ns_raw, k_ns=k_ns, k_s=k_s, g=g,
+        weight_quant=cfg.weight_quant, quant_bits=cfg.quant_bits,
+        compute_dtype=jnp.dtype(compute_dtype),
+    )
 
     bias = params.get("bias")
     return PackedLinear(
-        w_qt=q.T,
-        w_scales_t=scales.T,
-        w_sal_t=jnp.asarray(w_sal.T, compute_dtype),
+        w_qt=w_qt,
+        w_scales_t=scales_t,
+        w_sal_t=w_sal_t,
         bias=None if bias is None else jnp.asarray(bias),
         perm=jnp.asarray(perm),
         meta=PackedMeta(
@@ -134,6 +131,34 @@ def pack_linear(
             k_ns=k_ns, k_s=k_s, group_size=g,
         ),
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k_ns_raw", "k_ns", "k_s", "g", "weight_quant",
+                     "quant_bits", "compute_dtype"),
+)
+def _pack_device(w, perm, *, k_ns_raw, k_ns, k_s, g, weight_quant, quant_bits,
+                 compute_dtype):
+    o = w.shape[0]
+    w_perm = jnp.take(w.astype(jnp.float32), perm, axis=1)
+    w_ns = w_perm[:, :k_ns_raw]
+    if k_ns != k_ns_raw:
+        w_ns = jnp.pad(w_ns, ((0, 0), (0, k_ns - k_ns_raw)))
+    k = w.shape[1] - k_ns_raw
+    w_sal = jnp.zeros((o, k_s), jnp.float32)
+    if k:
+        w_sal = w_sal.at[:, :k].set(w_perm[:, k_ns_raw:])
+
+    if weight_quant == "per_tensor":
+        scale = core.compute_scale(jnp.max(jnp.abs(w_ns)), quant_bits)
+        scales = jnp.broadcast_to(scale, (o, k_ns // g)).astype(jnp.float32)
+        q = jnp.round(w_ns / scale).astype(jnp.int8)
+    else:
+        q3, s3 = core.group_quant_params(w_ns, quant_bits, g)
+        q = q3.reshape(o, k_ns)
+        scales = s3.reshape(o, k_ns // g)
+    return q.T, scales.T, w_sal.T.astype(compute_dtype)
 
 
 def quantize_activations_packed(

@@ -35,17 +35,20 @@ class ForwardContext:
 
     quant: when set, weight-quantized linears apply on-the-fly activation
       quantization (the simulated path).  Params must have been produced by
-      quantize_model_params.
+      quantize_model_params (dict linears) or pack_model (PackedLinear —
+      the real-kernel path; `compute` selects int/dequant/auto kernels).
     taps: when set, every quantizable linear reports input (and output)
       statistics for calibration (replaces the reference's torch hooks).
     """
 
     quant: Optional[QuantConfig] = None
     taps: Optional[TapCollector] = None
+    compute: str = "auto"  # real-path kernel choice: auto | int | dequant
+    interpret: bool = False  # run Pallas kernels in interpreter mode (CPU)
 
 
 def call_linear(
-    params: dict,
+    params,
     x: jax.Array,
     name: str,
     ctx: Optional[ForwardContext],
@@ -57,9 +60,25 @@ def call_linear(
     used for calibration stats and act-scales keys, so artifacts produced by
     the reference pipeline remain loadable.
     """
+    from smoothquant_tpu.kernels.pack import PackedLinear
+
     if ctx is not None and ctx.taps is not None:
         ctx.taps.tap_input(name, x)
-    if ctx is not None and ctx.quant is not None:
+    if isinstance(params, PackedLinear):
+        from smoothquant_tpu.kernels.real_linear import real_quant_linear
+        from smoothquant_tpu.quant import core
+
+        assert ctx is not None and ctx.quant is not None, (
+            "packed params require ForwardContext.quant"
+        )
+        y = real_quant_linear(params, x, ctx.quant, compute=ctx.compute,
+                              interpret=ctx.interpret)
+        if quantize_output and ctx.quant.quantize_bmm_input:
+            aq = core.get_act_quantizer(ctx.quant.act_quant,
+                                        ctx.quant.quant_bits,
+                                        ctx.quant.group_size)
+            y = aq(y)
+    elif ctx is not None and ctx.quant is not None:
         y = quant_linear(
             params,
             x,

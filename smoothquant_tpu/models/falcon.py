@@ -311,3 +311,18 @@ def params_from_hf_state_dict(state: dict, cfg: FalconConfig, dtype=None) -> dic
         "layers": layers,
         "ln_f": ln("transformer.ln_f"),
     }
+
+
+def quantizable_linears(cfg: FalconConfig):
+    """(params_path, feat/scales key, quantize_output) — generic packing."""
+    out = []
+    for i in range(cfg.num_hidden_layers):
+        li = ("layers", str(i))
+        pre = f"transformer.h.{i}"
+        out.append((li + ("self_attention", "query_key_value"),
+                    f"{pre}.self_attention.query_key_value", True))
+        out.append((li + ("self_attention", "dense"),
+                    f"{pre}.self_attention.dense", False))
+        out.append((li + ("mlp", "dense_h_to_4h"), f"{pre}.mlp.dense_h_to_4h", False))
+        out.append((li + ("mlp", "dense_4h_to_h"), f"{pre}.mlp.dense_4h_to_h", False))
+    return out

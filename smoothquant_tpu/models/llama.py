@@ -342,3 +342,18 @@ def params_from_hf_state_dict(state: dict, cfg: LlamaConfig, dtype=None) -> dict
     if not cfg.tie_word_embeddings and "lm_head.weight" in state:
         params["lm_head"] = {"weight": arr("lm_head.weight"), "bias": None}
     return params
+
+
+def quantizable_linears(cfg: LlamaConfig):
+    """(params_path, feat/scales key, quantize_output) for every quantizable
+    projection — drives generic packing (registry.pack_model)."""
+    out = []
+    for i in range(cfg.num_hidden_layers):
+        li = ("layers", str(i))
+        pre = f"model.layers.{i}"
+        for p in ("q_proj", "k_proj", "v_proj"):
+            out.append((li + ("self_attn", p), f"{pre}.self_attn.{p}", True))
+        out.append((li + ("self_attn", "o_proj"), f"{pre}.self_attn.o_proj", False))
+        for p in MLP_PROJS:
+            out.append((li + ("mlp", p), f"{pre}.mlp.{p}", False))
+    return out

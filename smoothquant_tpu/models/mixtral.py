@@ -299,3 +299,21 @@ def params_from_hf_state_dict(state: dict, cfg: MixtralConfig, dtype=None) -> di
     if "lm_head.weight" in state:
         params["lm_head"] = {"weight": arr("lm_head.weight"), "bias": None}
     return params
+
+
+def quantizable_linears(cfg: MixtralConfig):
+    """(params_path, feat/scales key, quantize_output) — generic packing."""
+    out = []
+    for i in range(cfg.num_hidden_layers):
+        li = ("layers", str(i))
+        pre = f"model.layers.{i}"
+        for p in ("q_proj", "k_proj", "v_proj"):
+            out.append((li + ("self_attn", p), f"{pre}.self_attn.{p}", True))
+        out.append((li + ("self_attn", "o_proj"), f"{pre}.self_attn.o_proj", False))
+        out.append((li + ("block_sparse_moe", "gate"),
+                    f"{pre}.block_sparse_moe.gate", False))
+        for e in range(cfg.num_local_experts):
+            for p in EXPERT_PROJS:
+                out.append((li + ("block_sparse_moe", "experts", str(e), p),
+                            f"{pre}.block_sparse_moe.experts.{e}.{p}", False))
+    return out

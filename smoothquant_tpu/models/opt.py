@@ -293,3 +293,17 @@ def params_from_hf_state_dict(state: dict, cfg: OPTConfig, dtype=None) -> dict:
         params["project_in"] = lin(f"{d}.project_in", bias=False)
         params["project_out"] = lin(f"{d}.project_out", bias=False)
     return params
+
+
+def quantizable_linears(cfg: OPTConfig):
+    """(params_path, feat/scales key, quantize_output) — generic packing."""
+    out = []
+    for i in range(cfg.num_hidden_layers):
+        li = ("layers", str(i))
+        pre = f"model.decoder.layers.{i}"
+        for p in ("q_proj", "k_proj", "v_proj"):
+            out.append((li + ("self_attn", p), f"{pre}.self_attn.{p}", True))
+        out.append((li + ("self_attn", "out_proj"), f"{pre}.self_attn.out_proj", False))
+        out.append((li + ("fc1",), f"{pre}.fc1", False))
+        out.append((li + ("fc2",), f"{pre}.fc2", False))
+    return out

@@ -52,3 +52,37 @@ def smooth_lm(arch: str, params: dict, cfg, act_scales: dict, alpha: float = 0.5
     """Apply SmoothQuant smoothing for any registered architecture."""
     m = get_arch(arch)
     return _smooth_model(params, m.smoothing_map(cfg), act_scales, alpha)
+
+
+def pack_model(
+    arch: str,
+    params: dict,
+    cfg,
+    qcfg: QuantConfig,
+    input_feat: Optional[dict] = None,
+    act_scales: Optional[dict] = None,
+    compute_dtype=None,
+) -> dict:
+    """Replace every quantizable linear with a PackedLinear (real-kernel path).
+
+    input_feat: salience importance vectors (calibrated mean-abs, summed);
+    act_scales: per-channel absmax (also the smoothing artifact) — used as
+    the static sort key for group layouts.  Both keyed by HF module names.
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    from smoothquant_tpu.kernels.pack import pack_linear
+    from smoothquant_tpu.quant.smooth import _get_path, _set_path
+
+    mod = get_arch(arch)
+    compute_dtype = compute_dtype or jnp.dtype(getattr(cfg, "dtype", "bfloat16"))
+    for path, key, _qo in mod.quantizable_linears(cfg):
+        lin = _get_path(params, path)
+        imp = None if input_feat is None else np.asarray(input_feat[key])
+        absmax = None if act_scales is None else np.asarray(act_scales[key])
+        # weights stay on device — pack_linear's heavy work is jitted there
+        packed = pack_linear(lin, qcfg, importance=imp, act_absmax=absmax,
+                             compute_dtype=compute_dtype)
+        params = _set_path(params, path, packed)
+    return params

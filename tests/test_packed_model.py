@@ -1,0 +1,94 @@
+"""Packed (real-kernel) model path: pack_model → forward with Pallas kernels."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from smoothquant_tpu.models import ForwardContext, llama as jllama, opt as jopt
+from smoothquant_tpu.models.registry import pack_model, quantize_model
+from smoothquant_tpu.quant import QuantConfig, w4a4_group
+from smoothquant_tpu.quant.calibrate import get_act_scales, get_calib_feat
+
+
+@pytest.fixture(scope="module")
+def tiny_llama():
+    cfg = jllama.LlamaConfig.tiny()
+    params = jllama.init_params(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def _calib(mod, cfg, params, n=2):
+    batches = [jnp.asarray(np.random.default_rng(i).integers(0, 256, size=(1, 16)))
+               for i in range(n)]
+
+    def fwd(p, ids, col):
+        mod.forward(p, ids, cfg, ctx=ForwardContext(taps=col))
+
+    return (get_act_scales(fwd, params, batches),
+            get_calib_feat(fwd, params, batches), batches)
+
+
+class TestPackedModel:
+    @pytest.mark.parametrize("compute", ["dequant", "int"])
+    def test_packed_forward_close_to_sim(self, tiny_llama, compute):
+        cfg, params = tiny_llama
+        qcfg = QuantConfig(weight_quant="per_channel", act_quant="per_token",
+                           quant_bits=8)
+        sim_params = quantize_model("llama", params, cfg, qcfg)
+        packed = pack_model("llama", params, cfg, qcfg,
+                            compute_dtype=jnp.float32)
+        ids = jnp.asarray(np.random.default_rng(7).integers(0, 256, size=(1, 12)))
+        sim, _ = jllama.forward(sim_params, ids, cfg, ctx=ForwardContext(quant=qcfg))
+        real, _ = jllama.forward(packed, ids, cfg,
+                                 ctx=ForwardContext(quant=qcfg, compute=compute,
+                                                    interpret=True))
+        # per-channel/per-token is permutation-invariant: paths should agree
+        # closely (f32 rounding order only)
+        np.testing.assert_allclose(np.asarray(real), np.asarray(sim),
+                                   atol=2e-2, rtol=2e-2)
+
+    def test_packed_w4a4_salient_runs_and_tracks_fp(self, tiny_llama):
+        cfg, params = tiny_llama
+        scales, feat, batches = _calib(jllama, cfg, params)
+        qcfg = w4a4_group(group_size=32, salient_prop=0.1)
+        packed = pack_model("llama", params, cfg, qcfg, input_feat=feat,
+                            act_scales=scales, compute_dtype=jnp.float32)
+        ids = batches[0]
+        fp, _ = jllama.forward(params, ids, cfg)
+        real, _ = jllama.forward(packed, ids, cfg,
+                                 ctx=ForwardContext(quant=qcfg, interpret=True))
+        fp, real = np.asarray(fp), np.asarray(real)
+        assert np.all(np.isfinite(real))
+        # top-1 must mostly agree with the FP model
+        agree = (fp.argmax(-1) == real.argmax(-1)).mean()
+        assert agree > 0.6, agree
+
+    def test_packed_decode_with_kv_cache(self, tiny_llama):
+        cfg, params = tiny_llama
+        from smoothquant_tpu.models.common import KVCache
+
+        qcfg = QuantConfig(weight_quant="per_channel", act_quant="per_token",
+                           quant_bits=8)
+        packed = pack_model("llama", params, cfg, qcfg, compute_dtype=jnp.float32)
+        ctx = ForwardContext(quant=qcfg, interpret=True)
+        ids = np.random.default_rng(9).integers(0, 256, size=(1, 6))
+        full, _ = jllama.forward(packed, jnp.asarray(ids), cfg, ctx=ctx)
+        caches = [KVCache.create(1, 16, cfg.num_key_value_heads, cfg.head_dim,
+                                 jnp.float32) for _ in range(cfg.num_hidden_layers)]
+        logits, caches = jllama.forward(packed, jnp.asarray(ids[:, :5]), cfg,
+                                        ctx=ctx, caches=caches)
+        step, _ = jllama.forward(packed, jnp.asarray(ids[:, 5:6]), cfg,
+                                 ctx=ctx, caches=caches)
+        np.testing.assert_allclose(np.asarray(step)[:, 0], np.asarray(full)[:, 5],
+                                   atol=1e-3, rtol=1e-3)
+
+    def test_packed_opt_arch(self):
+        cfg = jopt.OPTConfig.tiny()
+        params = jopt.init_params(jax.random.PRNGKey(2), cfg)
+        qcfg = w4a4_group(group_size=32)
+        packed = pack_model("opt", params, cfg, qcfg, compute_dtype=jnp.float32)
+        ids = jnp.asarray(np.random.default_rng(3).integers(0, 256, size=(1, 8)))
+        out, _ = jopt.forward(packed, ids, cfg,
+                              ctx=ForwardContext(quant=qcfg, interpret=True))
+        assert np.all(np.isfinite(np.asarray(out)))
