@@ -58,7 +58,7 @@ def main() -> None:
         for p in ps
     }
     _log("packing model")
-    packed = pack_model("llama", params, cfg, qcfg, input_feat=feat)
+    packed = pack_model("llama", params, cfg, qcfg, input_feat=feat, nibble=True)
     ctx = ForwardContext(quant=qcfg, compute="int")
     _log("packed")
 
@@ -95,7 +95,7 @@ def main() -> None:
     vs_baseline = t_bf / t_q
 
     print(json.dumps({
-        "metric": "llama7b-dim W4A4 g64 5%-salient real-kernel decode throughput",
+        "metric": "llama7b-dim W4A4 g64 5%-salient int4-packed decode throughput",
         "value": round(tokens_per_s, 1),
         "unit": "tokens/s/chip",
         "vs_baseline": round(vs_baseline, 4),

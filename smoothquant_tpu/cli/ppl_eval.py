@@ -32,6 +32,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--quant_bits", type=int, default=4)
     p.add_argument("--group_size", type=int, default=128)
     p.add_argument("--salient_prop", type=float, default=0.0)
+    p.add_argument("--saliency_metric", choices=["act", "weight"], default="act",
+                   help="'act' = calibrated mean-abs activations (reference "
+                        "run_experiments path); 'weight' = per-channel mean "
+                        "|w| (salient_weights_analysis.py intent, no "
+                        "calibration needed)")
     p.add_argument("--quantize_bmm_input", action="store_true", default=True)
     p.add_argument("--calib_samples", type=int, default=32)
     p.add_argument("--calib_seq_len", type=int, default=512)
@@ -74,9 +79,20 @@ def main(argv=None) -> None:
         )
         input_feat = None
         if args.salient_prop > 0:
-            _, tapped = forward_fn(arch, cfg)
-            batches = calib_batches(tokens, args.calib_samples, args.calib_seq_len)
-            input_feat = get_calib_feat(tapped, params, batches)
+            if args.saliency_metric == "weight":
+                from smoothquant_tpu.models.registry import get_arch
+                from smoothquant_tpu.quant.saliency import weight_magnitude_importance
+                from smoothquant_tpu.quant.smooth import _get_path
+
+                mod = get_arch(arch)
+                input_feat = {
+                    key: weight_magnitude_importance(_get_path(params, path)["weight"])
+                    for path, key, _ in mod.quantizable_linears(cfg)
+                }
+            else:
+                _, tapped = forward_fn(arch, cfg)
+                batches = calib_batches(tokens, args.calib_samples, args.calib_seq_len)
+                input_feat = get_calib_feat(tapped, params, batches)
         params = quantize_model(arch, params, cfg, qcfg, input_feat=input_feat)
 
     logits_fn, _ = forward_fn(arch, cfg, quant=qcfg)

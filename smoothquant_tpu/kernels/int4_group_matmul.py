@@ -51,7 +51,9 @@ def _kernel(x_lo_ref, x_hi_ref, xs_lo_ref, xs_hi_ref, wp_ref,
 
     w_lo, w_hi = _unpack_nibbles(wp_ref[:])  # each (gpt, gs, TO)
 
-    def body(gg, _):
+    # static Python loop: values (w_lo/w_hi) can't be dynamically indexed in
+    # Mosaic, and gpt is a compile-time constant anyway
+    for gg in range(gpt):
         p_lo = jax.lax.dot_general(
             x_lo_ref[gg], w_lo[gg],
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -64,9 +66,6 @@ def _kernel(x_lo_ref, x_hi_ref, xs_lo_ref, xs_hi_ref, wp_ref,
             preferred_element_type=jnp.int32,
         ).astype(jnp.float32)
         out_ref[:] += p_hi * xs_hi_ref[gg][:, None] * ws_hi_ref[gg][None, :]
-        return 0
-
-    jax.lax.fori_loop(0, gpt, body, 0, unroll=True)
 
 
 @functools.partial(
@@ -84,7 +83,7 @@ def int4_group_matmul(
     group_size: int,
     out_dtype=jnp.float32,
     tile_o: int = 512,
-    tile_g: int = 4,       # byte-groups per step (processes 2x groups)
+    tile_g: int = 8,       # byte-groups per step (processes 2x groups)
     interpret: bool = False,
 ) -> jax.Array:
     n, kk = x_q.shape
@@ -104,8 +103,14 @@ def int4_group_matmul(
     n_pad = _ceil_to(n, tile_n)
     o_pad = _ceil_to(o, min(tile_o, _ceil_to(o, 128)))
     tile_o = min(tile_o, o_pad)
-    tile_g = min(tile_g, g_half)
-    g_half_pad = _ceil_to(g_half, tile_g)
+    # Mosaic sublane rule: the scales block's leading dim (tile_g) must be
+    # 8-divisible or cover the whole (padded) group axis
+    if g_half <= tile_g:
+        tile_g = g_half
+        g_half_pad = g_half
+    else:
+        tile_g = _ceil_to(min(tile_g, g_half), 8)
+        g_half_pad = _ceil_to(g_half, tile_g)
 
     if n_pad != n:
         x_q = jnp.pad(x_q, ((0, n_pad - n), (0, 0)))

@@ -44,7 +44,8 @@ def _kernel(x3_ref, xs_ref, w3_ref, ws_ref, x_sal_ref, w_sal_t_ref,
             preferred_element_type=jnp.float32,
         )
 
-    def body(gg, _):
+    # static Python loop over the tile's groups (gpt is compile-time)
+    for gg in range(gpt):
         partial = jax.lax.dot_general(
             x3_ref[gg], w3_ref[gg],
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -53,9 +54,6 @@ def _kernel(x3_ref, xs_ref, w3_ref, ws_ref, x_sal_ref, w_sal_t_ref,
         sx = xs_ref[gg][:, None]                   # (TN, 1)
         sw = ws_ref[gg][None, :]                   # (1, TO)
         out_ref[:] += partial * sx * sw
-        return 0
-
-    jax.lax.fori_loop(0, gpt, body, 0, unroll=True)
 
 
 @functools.partial(

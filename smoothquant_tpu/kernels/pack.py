@@ -62,6 +62,7 @@ class PackedMeta:
     k_ns: int               # padded non-salient width (multiple of group_size)
     k_s: int                # padded salient width (multiple of LANE, >= 1 lane)
     group_size: int         # effective group size in the packed domain
+    nibble: bool = False    # w_qt holds (k_ns/2, O) split-half packed bytes
 
 
 def effective_group_size(cfg: QuantConfig, k_ns_raw: int) -> int:
@@ -82,15 +83,22 @@ def pack_linear(
     importance: Optional[np.ndarray] = None,
     act_absmax: Optional[np.ndarray] = None,
     compute_dtype=jnp.bfloat16,
+    nibble: bool = False,
 ) -> PackedLinear:
     """Build the packed layout from FP linear params {"weight", "bias"}.
 
     Only the permutation/salient selection runs on host (tiny vectors); the
     heavy permute/pad/quantize work is jitted on device — packing a 7B model
     is bandwidth-, not Python-, bound.
+
+    nibble=True stores weights two-per-byte (split-half layout; requires
+    quant_bits <= 4) — 4 bits/element in HBM, decode-optimal; only the
+    int-compute kernel can consume it.
     """
     w = params["weight"]
     o, c = w.shape
+    if nibble and cfg.quant_bits > 4:
+        raise ValueError("nibble packing requires quant_bits <= 4")
 
     k = cfg.num_salient(c) if importance is not None else 0
     sal_idx = select_salient_indices(np.asarray(importance), k) if k else np.zeros(0, np.int32)
@@ -110,6 +118,9 @@ def pack_linear(
 
     g = effective_group_size(cfg, k_ns_raw)
     k_ns = _ceil_to(max(k_ns_raw, 1), g)
+    if nibble:
+        # both halves must hold whole groups: k_ns multiple of 2*group_size
+        k_ns = _ceil_to(k_ns, 2 * g)
     k_s = _ceil_to(k, LANE) if k else LANE  # keep a lane-aligned (zero) block
 
     w_qt, scales_t, w_sal_t = _pack_device(
@@ -118,6 +129,8 @@ def pack_linear(
         weight_quant=cfg.weight_quant, quant_bits=cfg.quant_bits,
         compute_dtype=jnp.dtype(compute_dtype),
     )
+    if nibble:
+        w_qt = _nibble_pack_device(w_qt)
 
     bias = params.get("bias")
     return PackedLinear(
@@ -128,9 +141,18 @@ def pack_linear(
         perm=jnp.asarray(perm),
         meta=PackedMeta(
             in_features=c, out_features=o, num_salient=k,
-            k_ns=k_ns, k_s=k_s, group_size=g,
+            k_ns=k_ns, k_s=k_s, group_size=g, nibble=nibble,
         ),
     )
+
+
+@jax.jit
+def _nibble_pack_device(w_qt: jax.Array) -> jax.Array:
+    """(K, O) int8 int4-range → (K/2, O) split-half packed bytes (device)."""
+    k = w_qt.shape[0]
+    lo = w_qt[: k // 2].astype(jnp.uint8) & 0x0F
+    hi = (w_qt[k // 2 :].astype(jnp.uint8) & 0x0F) << 4
+    return (lo | hi).astype(jnp.int8)
 
 
 @functools.partial(

@@ -12,6 +12,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from smoothquant_tpu.kernels.int4_group_matmul import int4_group_matmul
 from smoothquant_tpu.kernels.int_group_matmul import int_group_matmul
 from smoothquant_tpu.kernels.pack import (
     PackedLinear,
@@ -55,7 +56,9 @@ def real_quant_linear(
     n_tokens = x2d.shape[0]
     x_perm = jnp.take(x2d, packed.perm, axis=-1)
 
-    if compute == "auto":
+    if meta.nibble:
+        compute = "int"  # nibble storage is only consumable by the int path
+    elif compute == "auto":
         compute = ("int" if n_tokens <= _INT_PATH_MAX_TOKENS
                    and _int_path_supported(cfg, meta) else "dequant")
     if compute == "int" and not _int_path_supported(cfg, meta):
@@ -63,7 +66,8 @@ def real_quant_linear(
 
     if compute == "int":
         x_q, x_scales, x_sal = quantize_activations_packed_int(x_perm, meta, cfg)
-        y = int_group_matmul(
+        kernel = int4_group_matmul if meta.nibble else int_group_matmul
+        y = kernel(
             x_q, x_scales, packed.w_qt, packed.w_scales_t,
             x_sal.astype(x.dtype), packed.w_sal_t.astype(x.dtype),
             group_size=meta.group_size,

@@ -121,7 +121,7 @@ def _alibi_attention(q, k, v, slopes, causal_offset, valid_len, attn_mask):
         mask = jnp.logical_and(mask, attn_mask[:, None, None, :].astype(bool))
     scores = jnp.where(mask, scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
-    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v).astype(q.dtype)
 
 
 def forward(
@@ -155,7 +155,8 @@ def forward(
         if cache is not None:
             offset = cache.pos
             cache = cache.update(k, v)
-            a = _alibi_attention(q, cache.k, cache.v, slopes, offset,
+            ck, cv = cache.read()
+            a = _alibi_attention(q, ck, cv, slopes, offset,
                                  cache.pos, attn_mask)
         else:
             a = _alibi_attention(q, k, v, slopes, 0, None, attn_mask)

@@ -163,6 +163,71 @@ class KVCache(NamedTuple):
             v = upd(self.v, v_new, self.pos)
         return KVCache(k=k, v=v, pos=self.pos + k_new.shape[1])
 
+    def read(self) -> tuple[jax.Array, jax.Array]:
+        return self.k, self.v
+
+
+class QuantKVCache(NamedTuple):
+    """INT8 KV cache: values stored int8 with per-(slot, position, head)
+    symmetric absmax scales — half the HBM footprint and read bandwidth of a
+    bf16 cache.  Dequantization on read is elementwise VPU work XLA fuses
+    into the attention matmuls.  (North-star capability; the reference keeps
+    stock HF fp caches, SURVEY.md §5 long-context row.)
+    """
+
+    k_q: jax.Array       # (B, max_len, H, D) int8
+    v_q: jax.Array       # (B, max_len, H, D) int8
+    k_scale: jax.Array   # (B, max_len, H) f32
+    v_scale: jax.Array   # (B, max_len, H) f32
+    pos: jax.Array       # () or (B,) int32
+
+    @classmethod
+    def create(cls, batch: int, max_len: int, n_kv_heads: int, head_dim: int,
+               dtype=None, per_slot: bool = False):
+        del dtype  # storage is int8; read() dequantizes to bf16
+        shape = (batch, max_len, n_kv_heads, head_dim)
+        pos = jnp.zeros((batch,) if per_slot else (), jnp.int32)
+        return cls(
+            k_q=jnp.zeros(shape, jnp.int8), v_q=jnp.zeros(shape, jnp.int8),
+            k_scale=jnp.zeros(shape[:3], jnp.float32),
+            v_scale=jnp.zeros(shape[:3], jnp.float32),
+            pos=pos,
+        )
+
+    @staticmethod
+    def _quantize(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+        absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+        scale = jnp.maximum(absmax, 1e-8) / 127.0
+        q = jnp.round(x.astype(jnp.float32) / scale[..., None]).astype(jnp.int8)
+        return q, scale
+
+    def update(self, k_new: jax.Array, v_new: jax.Array) -> "QuantKVCache":
+        kq, ks = self._quantize(k_new)
+        vq, vs = self._quantize(v_new)
+        if self.pos.ndim == 0:
+            at4 = lambda buf, new: jax.lax.dynamic_update_slice(
+                buf, new, (0, self.pos, 0, 0))
+            at3 = lambda buf, new: jax.lax.dynamic_update_slice(
+                buf, new, (0, self.pos, 0))
+            out = QuantKVCache(at4(self.k_q, kq), at4(self.v_q, vq),
+                               at3(self.k_scale, ks), at3(self.v_scale, vs),
+                               self.pos + k_new.shape[1])
+        else:
+            u4 = jax.vmap(lambda buf, new, p: jax.lax.dynamic_update_slice(
+                buf, new, (p, 0, 0)))
+            u3 = jax.vmap(lambda buf, new, p: jax.lax.dynamic_update_slice(
+                buf, new, (p, 0)))
+            out = QuantKVCache(u4(self.k_q, kq, self.pos), u4(self.v_q, vq, self.pos),
+                               u3(self.k_scale, ks, self.pos),
+                               u3(self.v_scale, vs, self.pos),
+                               self.pos + k_new.shape[1])
+        return out
+
+    def read(self) -> tuple[jax.Array, jax.Array]:
+        k = self.k_q.astype(jnp.float32) * self.k_scale[..., None]
+        v = self.v_q.astype(jnp.float32) * self.v_scale[..., None]
+        return k.astype(jnp.bfloat16), v.astype(jnp.bfloat16)
+
 
 def attention(
     q: jax.Array,
@@ -213,7 +278,7 @@ def attention(
     scores = jnp.where(mask, scores, NEG_INF)
 
     probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
-    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v).astype(q.dtype)
 
 
 def unembed(x: jax.Array, embedding: jax.Array) -> jax.Array:

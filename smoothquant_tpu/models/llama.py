@@ -164,7 +164,7 @@ def _decoder_layer(
         offset = cache.pos
         cache = cache.update(k, v)
         attn_out = attention(
-            q, cache.k, cache.v, causal_offset=offset, valid_len=cache.pos,
+            q, *cache.read(), causal_offset=offset, valid_len=cache.pos,
             attn_mask=attn_mask,
         )
     else:

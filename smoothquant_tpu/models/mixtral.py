@@ -170,7 +170,8 @@ def forward(
         if cache is not None:
             offset = cache.pos
             cache = cache.update(k, v)
-            a = attention(q, cache.k, cache.v, causal_offset=offset,
+            ck, cv = cache.read()
+            a = attention(q, ck, cv, causal_offset=offset,
                           valid_len=cache.pos, attn_mask=attn_mask)
         else:
             a = attention(q, k, v, attn_mask=attn_mask)

@@ -130,7 +130,8 @@ def _decoder_layer(lp, x, cfg, layer_name, ctx, cache, attn_mask):
     if cache is not None:
         offset = cache.pos
         cache = cache.update(k, v)
-        attn_out = attention(q, cache.k, cache.v, causal_offset=offset,
+        ck, cv = cache.read()
+        attn_out = attention(q, ck, cv, causal_offset=offset,
                              valid_len=cache.pos, scale=1.0, attn_mask=attn_mask)
     else:
         attn_out = attention(q, k, v, scale=1.0, attn_mask=attn_mask)

@@ -62,12 +62,14 @@ def pack_model(
     input_feat: Optional[dict] = None,
     act_scales: Optional[dict] = None,
     compute_dtype=None,
+    nibble: bool = False,
 ) -> dict:
     """Replace every quantizable linear with a PackedLinear (real-kernel path).
 
     input_feat: salience importance vectors (calibrated mean-abs, summed);
     act_scales: per-channel absmax (also the smoothing artifact) — used as
     the static sort key for group layouts.  Both keyed by HF module names.
+    nibble: store weights 4-bit two-per-byte (decode-optimal, int path only).
     """
     import jax.numpy as jnp
     import numpy as np
@@ -83,6 +85,6 @@ def pack_model(
         absmax = None if act_scales is None else np.asarray(act_scales[key])
         # weights stay on device — pack_linear's heavy work is jitted there
         packed = pack_linear(lin, qcfg, importance=imp, act_absmax=absmax,
-                             compute_dtype=compute_dtype)
+                             compute_dtype=compute_dtype, nibble=nibble)
         params = _set_path(params, path, packed)
     return params

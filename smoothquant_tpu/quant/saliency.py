@@ -31,6 +31,17 @@ def select_salient_indices(importance: np.ndarray, num_salient: int) -> np.ndarr
     return order[:num_salient].astype(np.int32)
 
 
+def weight_magnitude_importance(weight) -> np.ndarray:
+    """Weight-based saliency: per-input-channel mean |w| over output rows.
+
+    The metric the reference's salient_weights_analysis.py:79-190 *intended*
+    (the script passes a kwarg quantize_model never accepted — dead code,
+    SURVEY.md §2.8).  Usable anywhere an activation-calibrated importance
+    vector is accepted, e.g. when no calibration data is available.
+    """
+    return np.abs(np.asarray(weight, np.float32)).mean(axis=0).astype(np.float64)
+
+
 def salient_partition_perm(
     in_features: int, salient_indices: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray]:

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from smoothquant_tpu.models.common import ForwardContext, KVCache
+from smoothquant_tpu.models.common import ForwardContext, KVCache, QuantKVCache
 
 
 @dataclasses.dataclass
@@ -47,7 +47,8 @@ def _bucket(n: int, buckets=(32, 64, 128, 256, 512, 1024, 2048)) -> int:
 
 class ContinuousBatcher:
     def __init__(self, model_mod, params, cfg, quant=None, *,
-                 max_batch: int = 4, max_len: int = 512, kv_dtype=None):
+                 max_batch: int = 4, max_len: int = 512, kv_dtype=None,
+                 quant_kv: bool = False):
         self.mod, self.params, self.cfg = model_mod, params, cfg
         self.ctx = ForwardContext(quant=quant)
         self.max_batch, self.max_len = max_batch, max_len
@@ -55,9 +56,10 @@ class ContinuousBatcher:
         n_kv = getattr(cfg, "num_key_value_heads", cfg.num_attention_heads)
         self._n_kv = n_kv
 
+        cache_cls = QuantKVCache if quant_kv else KVCache
         self.caches = [
-            KVCache.create(max_batch, max_len, n_kv, cfg.head_dim,
-                           self.kv_dtype, per_slot=True)
+            cache_cls.create(max_batch, max_len, n_kv, cfg.head_dim,
+                             self.kv_dtype, per_slot=True)
             for _ in range(cfg.num_hidden_layers)
         ]
         self.key_valid = np.zeros((max_batch, max_len), bool)
@@ -70,24 +72,33 @@ class ContinuousBatcher:
         def _prefill(params, ids):
             # fresh single-row cache for one slot's prompt
             caches = [
-                KVCache.create(1, ids.shape[1], n_kv, cfg.head_dim, self.kv_dtype)
+                cache_cls.create(1, ids.shape[1], n_kv, cfg.head_dim, self.kv_dtype)
                 for _ in range(cfg.num_hidden_layers)
             ]
             logits, caches = self.mod.forward(params, ids, cfg, ctx=self.ctx,
                                               caches=caches)
-            return logits, [(c.k[0], c.v[0]) for c in caches]
+            rows = [
+                type(c)(**{f: (getattr(c, f) if f == "pos" else getattr(c, f)[0])
+                           for f in c._fields})
+                for c in caches
+            ]
+            return logits, rows
 
         @jax.jit
-        def _scatter(caches, kv_rows, slot, new_pos):
+        def _scatter(caches, row_caches, slot, new_pos):
             out = []
-            for c, (k_row, v_row) in zip(caches, kv_rows):
-                s = k_row.shape[0]
-                k = jax.lax.dynamic_update_slice(
-                    c.k, k_row[None].astype(c.k.dtype), (slot, 0, 0, 0))
-                v = jax.lax.dynamic_update_slice(
-                    c.v, v_row[None].astype(c.v.dtype), (slot, 0, 0, 0))
-                pos = c.pos.at[slot].set(new_pos)
-                out.append(KVCache(k=k, v=v, pos=pos))
+            for c, rc in zip(caches, row_caches):
+                new_fields = {}
+                for field in c._fields:
+                    if field == "pos":
+                        new_fields["pos"] = getattr(c, "pos").at[slot].set(new_pos)
+                        continue
+                    buf = getattr(c, field)
+                    row = getattr(rc, field)
+                    start = (slot,) + (0,) * (buf.ndim - 1)
+                    new_fields[field] = jax.lax.dynamic_update_slice(
+                        buf, row[None].astype(buf.dtype), start)
+                out.append(type(c)(**new_fields))
             return out
 
         @jax.jit

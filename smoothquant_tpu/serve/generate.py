@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from smoothquant_tpu.models.common import ForwardContext, KVCache
+from smoothquant_tpu.models.common import ForwardContext, KVCache, QuantKVCache
 
 
 @dataclasses.dataclass
@@ -42,13 +42,14 @@ class Generator:
     """
 
     def __init__(self, model_mod, params, cfg, quant=None,
-                 kv_dtype=None, max_len: int = 2048):
+                 kv_dtype=None, max_len: int = 2048, quant_kv: bool = False):
         self.mod = model_mod
         self.params = params
         self.cfg = cfg
         self.ctx = ForwardContext(quant=quant)
         self.max_len = max_len
         self.kv_dtype = kv_dtype or jnp.dtype(cfg.dtype)
+        self._cache_cls = QuantKVCache if quant_kv else KVCache
         n_kv = getattr(cfg, "num_key_value_heads", cfg.num_attention_heads)
         self._n_kv = n_kv
 
@@ -68,8 +69,8 @@ class Generator:
 
     def _new_caches(self, batch: int):
         return [
-            KVCache.create(batch, self.max_len, self._n_kv, self.cfg.head_dim,
-                           self.kv_dtype)
+            self._cache_cls.create(batch, self.max_len, self._n_kv,
+                                   self.cfg.head_dim, self.kv_dtype)
             for _ in range(self.cfg.num_hidden_layers)
         ]
 
