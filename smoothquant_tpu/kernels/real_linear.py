@@ -88,4 +88,6 @@ def real_quant_linear(
         )
     if packed.bias is not None:
         y = y + packed.bias.astype(y.dtype)
-    return y.reshape(*shape[:-1], meta.out_features)
+    # use the kernel's actual output width, not meta.out_features — inside a
+    # shard_map the arrays are O-shards while meta still records global dims
+    return y.reshape(*shape[:-1], y.shape[-1])

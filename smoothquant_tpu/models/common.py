@@ -45,6 +45,9 @@ class ForwardContext:
     taps: Optional[TapCollector] = None
     compute: str = "auto"  # real-path kernel choice: auto | int | dequant
     interpret: bool = False  # run Pallas kernels in interpreter mode (CPU)
+    tp_axis: Optional[str] = None  # inside shard_map: packed-linear outputs
+    #                                are computed on local O-shards and
+    #                                all-gathered over this mesh axis
 
 
 def call_linear(
@@ -73,6 +76,9 @@ def call_linear(
         )
         y = real_quant_linear(params, x, ctx.quant, compute=ctx.compute,
                               interpret=ctx.interpret)
+        if ctx.tp_axis is not None:
+            # column-parallel TP: each device computed its O-shard
+            y = jax.lax.all_gather(y, ctx.tp_axis, axis=-1, tiled=True)
         if quantize_output and ctx.quant.quantize_bmm_input:
             aq = core.get_act_quantizer(ctx.quant.act_quant,
                                         ctx.quant.quant_bits,
