@@ -20,6 +20,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_samples", type=int, default=512)
     p.add_argument("--seq_len", type=int, default=512)
     p.add_argument("--no_smooth", action="store_true")
+    p.add_argument("--export_smoothed", action="store_true",
+                   help="instead of the int8 model, save the smoothed FP "
+                        "params + raw per-layer scales (the reference's "
+                        "--export-FT FasterTransformer path, "
+                        "export_int8_model.py:45-53)")
     p.add_argument("--tokens_path", type=str, default=None)
     p.add_argument("--dataset_path", type=str, default=None)
     p.add_argument("--tokenizer_path", type=str, default=None)
@@ -56,9 +61,23 @@ def main(argv=None) -> None:
 
     act_dict = get_static_act_dict(tapped, params, batches)
     layer_scales = get_static_decoder_layer_scales_opt(act_dict, cfg.num_hidden_layers)
-    int8_params = opt_int8.from_float(params, cfg, layer_scales)
-    save_int8_opt(int8_params, cfg, args.output_path)
-    print(f"saved INT8 OPT model to {args.output_path}")
+    if args.export_smoothed:
+        import json
+
+        import numpy as np
+
+        from smoothquant_tpu.utils.checkpoint import save_params
+
+        save_params(params, args.output_path)
+        scales_path = args.output_path.replace(".npz", "") + ".layer_scales.json"
+        with open(scales_path, "w") as f:
+            json.dump(layer_scales, f, indent=2)
+        print(f"saved smoothed FP params to {args.output_path} "
+              f"+ raw scales to {scales_path}")
+    else:
+        int8_params = opt_int8.from_float(params, cfg, layer_scales)
+        save_int8_opt(int8_params, cfg, args.output_path)
+        print(f"saved INT8 OPT model to {args.output_path}")
 
 
 if __name__ == "__main__":
