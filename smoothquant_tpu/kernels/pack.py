@@ -201,12 +201,12 @@ def quantize_activations_packed(
         x_ns = jnp.pad(x_ns, ((0, 0), (0, meta.k_ns - k_ns_raw)))
 
     if cfg.act_quant == "per_token":
-        x_ns_q = core.quantize_activation_per_token_absmax(x_ns, cfg.quant_bits)
+        x_ns_q = core.quantize_activation_per_token_absmax(x_ns, cfg.effective_act_bits)
     elif cfg.act_quant == "per_tensor":
-        x_ns_q = core.quantize_activation_per_tensor_absmax(x_ns, cfg.quant_bits)
+        x_ns_q = core.quantize_activation_per_tensor_absmax(x_ns, cfg.effective_act_bits)
     else:  # per_group (static-sorted) / per_group_unsorted
         x_ns_q = core.quantize_activation_per_group_absmax(
-            x_ns, cfg.quant_bits, cfg.group_size
+            x_ns, cfg.effective_act_bits, cfg.group_size
         )
 
     x_sal = jnp.zeros((n, meta.k_s), x_perm.dtype)
@@ -238,11 +238,11 @@ def quantize_activations_packed_int(
 
     if cfg.act_quant == "per_token":
         absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
-        scales = compute_scale(absmax, cfg.quant_bits)          # (N, 1)
+        scales = compute_scale(absmax, cfg.effective_act_bits)  # (N, 1)
         x_q = jnp.round(xf / scales).astype(jnp.int8)
         x_scales = jnp.broadcast_to(scales, (n, g_w))
     elif cfg.act_quant == "per_tensor":
-        scale = compute_scale(jnp.max(jnp.abs(xf)), cfg.quant_bits)
+        scale = compute_scale(jnp.max(jnp.abs(xf)), cfg.effective_act_bits)
         x_q = jnp.round(xf / scale).astype(jnp.int8)
         x_scales = jnp.broadcast_to(scale, (n, g_w))
     else:  # per-group: activation groups must align with weight groups
@@ -253,7 +253,7 @@ def quantize_activations_packed_int(
             )
         xg = xf.reshape(n, g_w, meta.group_size)
         absmax = jnp.max(jnp.abs(xg), axis=-1, keepdims=True)
-        scales = compute_scale(absmax, cfg.quant_bits)          # (N, G, 1)
+        scales = compute_scale(absmax, cfg.effective_act_bits)  # (N, G, 1)
         x_q = jnp.round(xg / scales).astype(jnp.int8).reshape(n, meta.k_ns)
         x_scales = scales[..., 0]
 

@@ -28,6 +28,8 @@ _INT_PATH_MAX_TOKENS = 256
 
 
 def _int_path_supported(cfg: QuantConfig, meta) -> bool:
+    if cfg.effective_act_bits > 8:
+        return False  # activation values must fit the int8 container
     if cfg.act_quant in ("per_token", "per_tensor"):
         return True
     return cfg.group_size == meta.group_size

@@ -81,7 +81,7 @@ def call_linear(
             y = jax.lax.all_gather(y, ctx.tp_axis, axis=-1, tiled=True)
         if quantize_output and ctx.quant.quantize_bmm_input:
             aq = core.get_act_quantizer(ctx.quant.act_quant,
-                                        ctx.quant.quant_bits,
+                                        ctx.quant.effective_act_bits,
                                         ctx.quant.group_size)
             y = aq(y)
     elif ctx is not None and ctx.quant is not None:

@@ -3,6 +3,7 @@ from smoothquant_tpu.quant.config import (
     W4A4_PER_CHANNEL,
     W8A8_SMOOTHQUANT,
     w4a4_group,
+    w4a8_group,
 )
 from smoothquant_tpu.quant.core import (
     quantize_activation_per_group_absmax,

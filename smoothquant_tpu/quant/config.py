@@ -29,7 +29,10 @@ class QuantConfig:
         quantizing q/k/v projection *outputs* (fake_quant.py:417, 517).
       salient_prop: fraction of input channels kept in high precision,
         ranked by calibrated importance (fake_quant.py:265-270).
-      quant_bits: bit width b; q_max = 2**(b-1)-1.
+      quant_bits: weight bit width b; q_max = 2**(b-1)-1.
+      act_bits: activation bit width; None → quant_bits (the reference uses
+        one width for both; separate widths enable W4A8 — BASELINE.json
+        north star).
       group_size: channels per quantization group.
       alpha: SmoothQuant migration strength (smooth.py:19).
       static_sort: if True, the real execution path uses a calibration-time
@@ -43,6 +46,7 @@ class QuantConfig:
     quantize_bmm_input: bool = False
     salient_prop: float = 0.0
     quant_bits: int = 4
+    act_bits: Optional[int] = None
     group_size: int = 128
     alpha: float = 0.5
     static_sort: bool = False
@@ -63,6 +67,10 @@ class QuantConfig:
     def q_max(self) -> int:
         return 2 ** (self.quant_bits - 1) - 1
 
+    @property
+    def effective_act_bits(self) -> int:
+        return self.act_bits if self.act_bits is not None else self.quant_bits
+
     def num_salient(self, in_features: int) -> int:
         """Number of salient channels: max(1, int(p*C)) when p>0, else 0.
 
@@ -71,6 +79,17 @@ class QuantConfig:
         if self.salient_prop <= 0:
             return 0
         return max(1, int(self.salient_prop * in_features))
+
+
+def w4a8_group(group_size: int = 128, salient_prop: float = 0.0,
+               quantize_bmm_input: bool = False) -> QuantConfig:
+    """W4A8: 4-bit group weights, 8-bit activations (north-star config)."""
+    return QuantConfig(
+        weight_quant="per_group", act_quant="per_group",
+        quantize_bmm_input=quantize_bmm_input,
+        salient_prop=salient_prop, quant_bits=4, act_bits=8,
+        group_size=group_size,
+    )
 
 
 # Named presets mirroring the reference's experiment configs.

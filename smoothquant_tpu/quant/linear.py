@@ -87,7 +87,7 @@ def _act_qdq(x2d: jax.Array, params: LinearParams, cfg: QuantConfig) -> jax.Arra
     `x[:, non_salient_mask]` compaction (fake_quant.py:291-301) — and
     scattered back; salient columns pass through untouched.
     """
-    aq_fn = core.get_act_quantizer(cfg.act_quant, cfg.quant_bits, cfg.group_size)
+    aq_fn = core.get_act_quantizer(cfg.act_quant, cfg.effective_act_bits, cfg.group_size)
     if "sal_perm" not in params:
         return aq_fn(x2d)
     c = x2d.shape[-1]
@@ -117,6 +117,6 @@ def quant_linear(
     if params.get("bias") is not None:
         y = y + params["bias"].astype(y.dtype)
     if quantize_output:
-        aq_fn = core.get_act_quantizer(cfg.act_quant, cfg.quant_bits, cfg.group_size)
+        aq_fn = core.get_act_quantizer(cfg.act_quant, cfg.effective_act_bits, cfg.group_size)
         y = aq_fn(y)
     return y.reshape(*shape[:-1], y.shape[-1])

@@ -92,3 +92,30 @@ class TestPackedModel:
         out, _ = jopt.forward(packed, ids, cfg,
                               ctx=ForwardContext(quant=qcfg, interpret=True))
         assert np.all(np.isfinite(np.asarray(out)))
+
+
+class TestPackedOtherArchitectures:
+    @pytest.mark.parametrize("arch", ["mixtral", "falcon", "bloom"])
+    def test_packed_forward_runs(self, arch):
+        from smoothquant_tpu.models import bloom as jbloom
+        from smoothquant_tpu.models import falcon as jfalcon
+        from smoothquant_tpu.models import mixtral as jmixtral
+
+        mod = {"mixtral": jmixtral, "falcon": jfalcon, "bloom": jbloom}[arch]
+        cfg = mod.__dict__[
+            {"mixtral": "MixtralConfig", "falcon": "FalconConfig",
+             "bloom": "BloomConfig"}[arch]
+        ].tiny()
+        params = mod.init_params(jax.random.PRNGKey(0), cfg)
+        qcfg = w4a4_group(group_size=32)
+        packed = pack_model(arch, params, cfg, qcfg, compute_dtype=jnp.float32)
+        ids = jnp.asarray(np.random.default_rng(1).integers(0, 256, size=(1, 8)))
+        fp, _ = mod.forward(params, ids, cfg)
+        real, _ = mod.forward(packed, ids, cfg,
+                              ctx=ForwardContext(quant=qcfg, interpret=True))
+        real = np.asarray(real)
+        assert np.all(np.isfinite(real))
+        # tiny random models + aggressive W4A4 g32: just require the packed
+        # path to stay correlated with FP (and finite), not faithful
+        agree = (np.asarray(fp).argmax(-1) == real.argmax(-1)).mean()
+        assert agree >= 0.25, (arch, agree)

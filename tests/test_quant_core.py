@@ -155,3 +155,31 @@ class TestProperties:
         w = jnp.asarray(rng.normal(size=(8, 32)), dtype=jnp.bfloat16)
         out = core.quantize_weight_per_channel_absmax(w, 4)
         assert out.dtype == jnp.bfloat16
+
+
+class TestW4A8:
+    def test_separate_act_bits(self):
+        from smoothquant_tpu.quant import w4a8_group
+
+        cfg = w4a8_group(group_size=64)
+        assert cfg.quant_bits == 4 and cfg.effective_act_bits == 8
+
+    def test_w4a8_real_path_more_accurate_than_w4a4(self, rng):
+        import jax.numpy as jnp
+
+        from smoothquant_tpu.kernels import pack_linear, real_quant_linear
+        from smoothquant_tpu.quant import w4a4_group, w4a8_group
+
+        o, c, n = 128, 256, 16
+        w = rng.normal(size=(o, c)).astype(np.float32) * 0.05
+        x = rng.normal(size=(n, c)).astype(np.float32)
+        ref = x @ w.T
+        errs = {}
+        for name, cfg in [("w4a4", w4a4_group(group_size=64)),
+                          ("w4a8", w4a8_group(group_size=64))]:
+            p = pack_linear({"weight": w, "bias": None}, cfg,
+                            compute_dtype=jnp.float32)
+            y = np.asarray(real_quant_linear(p, jnp.asarray(x), cfg,
+                                             interpret=True))
+            errs[name] = np.abs(y - ref).mean()
+        assert errs["w4a8"] < errs["w4a4"]
