@@ -78,6 +78,61 @@ def load_params(path: str, dtype=None) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# Packed-model checkpoints: int weights + group scales + permutation +
+# salient metadata (the quantized checkpoint format of SURVEY.md §5).
+# ---------------------------------------------------------------------------
+
+
+def save_packed_model(params: dict, path: str) -> None:
+    """Save a pack_model() pytree: PackedLinear leaves keep their static
+    meta as a JSON sidecar entry so load reconstructs them exactly."""
+    from smoothquant_tpu.kernels.pack import PackedLinear
+
+    metas: dict = {}
+
+    def walk(node, prefix=""):
+        if isinstance(node, PackedLinear):
+            metas[prefix[:-1]] = dataclasses.asdict(node.meta)
+        elif isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, f"{prefix}{k}/")
+
+    walk(params)
+    flat = _flatten(params)
+    flat["__packed_metas__"] = np.frombuffer(
+        json.dumps(metas).encode(), dtype=np.uint8)
+    np.savez(path, **flat)
+
+
+def load_packed_model(path: str) -> dict:
+    """Load a save_packed_model() checkpoint back into a packed pytree."""
+    import jax.numpy as jnp
+
+    from smoothquant_tpu.kernels.pack import PackedLinear, PackedMeta
+
+    flat = load_flat(path)
+    metas = json.loads(bytes(flat.pop("__packed_metas__")).decode())
+    nested = unflatten(flat)
+
+    def rebuild(node, prefix=""):
+        key = prefix[:-1]
+        if key in metas:
+            return PackedLinear(
+                w_qt=jnp.asarray(node["w_qt"]),
+                w_scales_t=jnp.asarray(node["w_scales_t"]),
+                w_sal_t=jnp.asarray(node["w_sal_t"]),
+                bias=jnp.asarray(node["bias"]) if "bias" in node else None,
+                perm=jnp.asarray(node["perm"]),
+                meta=PackedMeta(**metas[key]),
+            )
+        if isinstance(node, dict):
+            return {k: rebuild(v, f"{prefix}{k}/") for k, v in node.items()}
+        return jnp.asarray(node)
+
+    return rebuild(nested)
+
+
+# ---------------------------------------------------------------------------
 # INT8 OPT artifact (export_int8_model CLI)
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,79 @@
+"""Checkpoint roundtrips: fp params, packed models, int8 OPT (covered in
+test_cli), plus act-scales IO."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from smoothquant_tpu.models import ForwardContext, llama as jllama
+from smoothquant_tpu.models.registry import pack_model
+from smoothquant_tpu.quant import w4a4_group
+from smoothquant_tpu.utils.checkpoint import (
+    load_packed_model,
+    load_params,
+    save_packed_model,
+    save_params,
+)
+from smoothquant_tpu.utils.hf_import import load_act_scales, save_act_scales
+
+
+def test_fp_params_roundtrip(tmp_path):
+    cfg = jllama.LlamaConfig.tiny()
+    params = jllama.init_params(jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path / "fp.npz")
+    save_params(params, path)
+    loaded = load_params(path)
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 256, size=(1, 8)))
+    ref, _ = jllama.forward(params, ids, cfg)
+    got, _ = jllama.forward(loaded, ids, cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+
+def test_packed_model_roundtrip(tmp_path):
+    cfg = jllama.LlamaConfig.tiny()
+    params = jllama.init_params(jax.random.PRNGKey(1), cfg)
+    qcfg = w4a4_group(group_size=32, salient_prop=0.1)
+    feat = {
+        key: np.random.default_rng(5).uniform(0.1, 1.0, size=(
+            cfg.intermediate_size if "down_proj" in key else cfg.hidden_size,))
+        for _, key, _ in jllama.quantizable_linears(cfg)
+    }
+    packed = pack_model("llama", params, cfg, qcfg, input_feat=feat,
+                        compute_dtype=jnp.float32)
+    path = str(tmp_path / "packed.npz")
+    save_packed_model(packed, path)
+    loaded = load_packed_model(path)
+
+    lin = loaded["layers"]["0"]["self_attn"]["q_proj"]
+    orig = packed["layers"]["0"]["self_attn"]["q_proj"]
+    assert lin.meta == orig.meta
+    np.testing.assert_array_equal(np.asarray(lin.w_qt), np.asarray(orig.w_qt))
+    np.testing.assert_array_equal(np.asarray(lin.perm), np.asarray(orig.perm))
+
+    ids = jnp.asarray(np.random.default_rng(2).integers(0, 256, size=(1, 8)))
+    ctx = ForwardContext(quant=qcfg, interpret=True)
+    ref, _ = jllama.forward(packed, ids, cfg, ctx=ctx)
+    got, _ = jllama.forward(loaded, ids, cfg, ctx=ctx)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_act_scales_npz_roundtrip(tmp_path):
+    scales = {"model.layers.0.self_attn.q_proj":
+              np.random.default_rng(0).uniform(0.1, 2.0, size=(64,)).astype(np.float32)}
+    path = str(tmp_path / "scales.npz")
+    save_act_scales(scales, path)
+    loaded = load_act_scales(path)
+    np.testing.assert_allclose(loaded["model.layers.0.self_attn.q_proj"],
+                               scales["model.layers.0.self_attn.q_proj"])
+
+
+def test_act_scales_torch_pt_roundtrip(tmp_path):
+    pytest.importorskip("torch")
+    scales = {"model.decoder.layers.0.fc1":
+              np.random.default_rng(1).uniform(0.1, 2.0, size=(32,)).astype(np.float32)}
+    path = str(tmp_path / "scales.pt")
+    save_act_scales(scales, path)
+    loaded = load_act_scales(path)  # the reference's artifact format
+    np.testing.assert_allclose(loaded["model.decoder.layers.0.fc1"],
+                               scales["model.decoder.layers.0.fc1"])
