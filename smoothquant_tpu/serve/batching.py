@@ -48,9 +48,11 @@ def _bucket(n: int, buckets=(32, 64, 128, 256, 512, 1024, 2048)) -> int:
 class ContinuousBatcher:
     def __init__(self, model_mod, params, cfg, quant=None, *,
                  max_batch: int = 4, max_len: int = 512, kv_dtype=None,
-                 quant_kv: bool = False):
+                 quant_kv: bool = False, compute: str = "auto",
+                 interpret: bool = False):
         self.mod, self.params, self.cfg = model_mod, params, cfg
-        self.ctx = ForwardContext(quant=quant)
+        self.ctx = ForwardContext(quant=quant, compute=compute,
+                                  interpret=interpret)
         self.max_batch, self.max_len = max_batch, max_len
         self.kv_dtype = kv_dtype or jnp.dtype(cfg.dtype)
         n_kv = getattr(cfg, "num_key_value_heads", cfg.num_attention_heads)

@@ -42,11 +42,13 @@ class Generator:
     """
 
     def __init__(self, model_mod, params, cfg, quant=None,
-                 kv_dtype=None, max_len: int = 2048, quant_kv: bool = False):
+                 kv_dtype=None, max_len: int = 2048, quant_kv: bool = False,
+                 compute: str = "auto", interpret: bool = False):
         self.mod = model_mod
         self.params = params
         self.cfg = cfg
-        self.ctx = ForwardContext(quant=quant)
+        self.ctx = ForwardContext(quant=quant, compute=compute,
+                                  interpret=interpret)
         self.max_len = max_len
         self.kv_dtype = kv_dtype or jnp.dtype(cfg.dtype)
         self._cache_cls = QuantKVCache if quant_kv else KVCache

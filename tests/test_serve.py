@@ -116,3 +116,37 @@ class TestContinuousBatching:
         batcher.run_to_completion()
         expected = greedy_oracle(jopt, params, cfg, list(prompt), 3)
         assert req.generated == expected
+
+
+class TestPackedServing:
+    def test_generator_over_packed_model(self, tiny_llama):
+        from smoothquant_tpu.models.registry import pack_model
+        from smoothquant_tpu.quant import w4a4_group
+
+        cfg, params = tiny_llama
+        qcfg = w4a4_group(group_size=32)
+        packed = pack_model("llama", params, cfg, qcfg,
+                            compute_dtype=jnp.float32)
+        gen = Generator(jllama, packed, cfg, quant=qcfg, max_len=32,
+                        interpret=True)
+        prompt = np.random.default_rng(11).integers(0, cfg.vocab_size, size=(1, 5))
+        out = gen.generate(prompt, GenerationConfig(max_new_tokens=4))
+        assert out.shape == (1, 9)
+
+    def test_batcher_over_packed_model(self, tiny_llama):
+        from smoothquant_tpu.models.registry import pack_model
+        from smoothquant_tpu.quant import w4a4_group
+
+        cfg, params = tiny_llama
+        qcfg = w4a4_group(group_size=32)
+        packed = pack_model("llama", params, cfg, qcfg,
+                            compute_dtype=jnp.float32)
+        b = ContinuousBatcher(jllama, packed, cfg, quant=qcfg, max_batch=2,
+                              max_len=64, interpret=True)
+        rng = np.random.default_rng(12)
+        reqs = [Request(uid=i, prompt=rng.integers(0, cfg.vocab_size, size=(n,)),
+                        max_new_tokens=3) for i, n in enumerate([4, 6])]
+        for r in reqs:
+            b.submit(r)
+        done = b.run_to_completion()
+        assert len(done) == 2 and all(len(r.generated) == 3 for r in reqs)
