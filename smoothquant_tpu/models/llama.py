@@ -191,8 +191,15 @@ def forward(
     caches: Optional[list[KVCache]] = None,
     positions: Optional[jax.Array] = None,
     attn_mask: Optional[jax.Array] = None,
+    scan_layers: bool = False,
 ) -> tuple[jax.Array, Optional[list[KVCache]]]:
-    """Returns (logits float32 (B,S,V), updated caches or None)."""
+    """Returns (logits float32 (B,S,V), updated caches or None).
+
+    scan_layers=True runs the (homogeneous) layer stack under lax.scan so
+    the decoder layer compiles ONCE instead of num_hidden_layers times —
+    large compile-time win for deep models.  Calibration taps are per-layer
+    named and therefore unsupported under scan.
+    """
     b, s = input_ids.shape
     x = jnp.take(params["embed_tokens"]["weight"], input_ids, axis=0)
     if positions is None:
@@ -203,15 +210,36 @@ def forward(
         positions = start + jax.lax.broadcasted_iota(jnp.int32, (b, s), 1)
     cos, sin = rotary_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
 
-    new_caches = [] if caches is not None else None
-    for i in range(cfg.num_hidden_layers):
-        layer_cache = caches[i] if caches is not None else None
-        x, layer_cache = _decoder_layer(
-            params["layers"][str(i)], x, cfg, f"model.layers.{i}",
-            cos, sin, ctx, layer_cache, attn_mask,
-        )
-        if new_caches is not None:
-            new_caches.append(layer_cache)
+    if scan_layers:
+        assert ctx is None or ctx.taps is None, "taps unsupported with scan"
+        layer_list = [params["layers"][str(i)]
+                      for i in range(cfg.num_hidden_layers)]
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layer_list)
+        stacked_caches = (None if caches is None
+                          else jax.tree.map(lambda *xs: jnp.stack(xs), *caches))
+
+        def body(carry, layer_in):
+            lp, cache = layer_in
+            y, cache = _decoder_layer(lp, carry, cfg, "model.layers.scan",
+                                      cos, sin, ctx, cache, attn_mask)
+            return y, cache
+
+        x, out_caches = jax.lax.scan(body, x, (stacked, stacked_caches))
+        if caches is not None:
+            new_caches = [jax.tree.map(lambda a: a[i], out_caches)
+                          for i in range(cfg.num_hidden_layers)]
+        else:
+            new_caches = None
+    else:
+        new_caches = [] if caches is not None else None
+        for i in range(cfg.num_hidden_layers):
+            layer_cache = caches[i] if caches is not None else None
+            x, layer_cache = _decoder_layer(
+                params["layers"][str(i)], x, cfg, f"model.layers.{i}",
+                cos, sin, ctx, layer_cache, attn_mask,
+            )
+            if new_caches is not None:
+                new_caches.append(layer_cache)
 
     x = rms_norm(params["norm"], x, cfg.rms_norm_eps)
     if cfg.tie_word_embeddings or "lm_head" not in params:

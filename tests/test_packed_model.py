@@ -119,3 +119,46 @@ class TestPackedOtherArchitectures:
         # path to stay correlated with FP (and finite), not faithful
         agree = (np.asarray(fp).argmax(-1) == real.argmax(-1)).mean()
         assert agree >= 0.25, (arch, agree)
+
+
+class TestScanLayers:
+    def test_scan_matches_loop_fp(self, tiny_llama):
+        cfg, params = tiny_llama
+        ids = jnp.asarray(np.random.default_rng(20).integers(0, 256, size=(2, 9)))
+        ref, _ = jllama.forward(params, ids, cfg)
+        got, _ = jllama.forward(params, ids, cfg, scan_layers=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_scan_matches_loop_packed_with_cache(self, tiny_llama):
+        from smoothquant_tpu.models.common import KVCache
+
+        cfg, params = tiny_llama
+        qcfg = w4a4_group(group_size=32)
+        packed = pack_model("llama", params, cfg, qcfg, compute_dtype=jnp.float32)
+        ctx = ForwardContext(quant=qcfg, interpret=True)
+        ids = jnp.asarray(np.random.default_rng(21).integers(0, 256, size=(1, 6)))
+
+        def mk():
+            return [KVCache.create(1, 8, cfg.num_key_value_heads, cfg.head_dim,
+                                   jnp.float32) for _ in range(cfg.num_hidden_layers)]
+
+        ref, ref_caches = jllama.forward(packed, ids, cfg, ctx=ctx, caches=mk())
+        got, got_caches = jllama.forward(packed, ids, cfg, ctx=ctx, caches=mk(),
+                                         scan_layers=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-4, rtol=1e-4)
+        for rc, gc in zip(ref_caches, got_caches):
+            np.testing.assert_allclose(np.asarray(gc.k), np.asarray(rc.k),
+                                       atol=1e-5)
+            assert int(gc.pos) == int(rc.pos)
+
+    def test_scan_rejects_taps(self, tiny_llama):
+        from smoothquant_tpu.quant.calibrate import TapCollector
+
+        cfg, params = tiny_llama
+        ids = jnp.asarray(np.zeros((1, 4), np.int32))
+        with pytest.raises(AssertionError):
+            jllama.forward(params, ids, cfg,
+                           ctx=ForwardContext(taps=TapCollector()),
+                           scan_layers=True)
