@@ -27,8 +27,6 @@ def load_token_stream(args) -> np.ndarray:
 
 def forward_fn(arch: str, cfg, quant=None):
     """logits_fn(params, ids) and tapped-forward builder for an architecture."""
-    import jax
-
     from smoothquant_tpu.models.common import ForwardContext
     from smoothquant_tpu.models.registry import get_arch
 

@@ -64,8 +64,6 @@ def main(argv=None) -> None:
     if args.export_smoothed:
         import json
 
-        import numpy as np
-
         from smoothquant_tpu.utils.checkpoint import save_params
 
         save_params(params, args.output_path)

@@ -15,8 +15,6 @@ import argparse
 import functools
 import json
 
-import numpy as np
-
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)

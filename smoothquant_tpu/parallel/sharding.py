@@ -20,8 +20,6 @@ group_size | (in_features / tp); assert_group_shardable checks this.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 from jax.sharding import NamedSharding, PartitionSpec as P
 

@@ -19,9 +19,7 @@ the PackedLinear level, not per-model.
 
 from __future__ import annotations
 
-import dataclasses
 import functools
-from typing import Optional
 
 import jax
 from jax.sharding import PartitionSpec as P

@@ -19,7 +19,7 @@ Three statistics, matching the reference exactly:
 
 from __future__ import annotations
 
-from typing import Callable, Iterable, Optional
+from typing import Callable, Iterable
 
 import jax
 import jax.numpy as jnp

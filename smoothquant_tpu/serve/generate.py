@@ -9,8 +9,7 @@ device_put with parallel.param_specs before building the engine).
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Callable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
