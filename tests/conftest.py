@@ -1,9 +1,14 @@
-"""Test configuration: force an 8-device virtual CPU mesh before jax import."""
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+The ambient environment pins JAX_PLATFORMS=axon (the tunneled TPU) and its
+sitecustomize imports jax BEFORE pytest loads this file, so setting env vars
+alone is not enough — jax.config.update("jax_platforms", ...) is what
+actually forces the CPU backend after import (backends initialize lazily,
+so XLA_FLAGS set here is still honored for the device count).
+"""
 
 import os
 
-# The ambient environment pins JAX_PLATFORMS=axon (the tunneled TPU); tests
-# must run on the virtual CPU mesh, so override unconditionally.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -13,4 +18,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+assert jax.devices()[0].platform == "cpu", (
+    "tests must run on the virtual CPU mesh, got " + jax.devices()[0].platform
+)
