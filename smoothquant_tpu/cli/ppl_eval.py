@@ -35,7 +35,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "run_experiments path); 'weight' = per-channel mean "
                         "|w| (salient_weights_analysis.py intent, no "
                         "calibration needed)")
-    p.add_argument("--quantize_bmm_input", action="store_true", default=True)
+    p.add_argument("--quantize_bmm_input", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="quantize q/k/v projection outputs (simulated int8 "
+                        "attention BMM inputs). Default follows the "
+                        "reference's per-arch signature defaults: True for "
+                        "OPT/Falcon/Bloom, False for Llama/Mistral/Mixtral "
+                        "(fake_quant.py:381,468,568,675)")
     p.add_argument("--calib_samples", type=int, default=32)
     p.add_argument("--calib_seq_len", type=int, default=512)
     p.add_argument("--window", type=int, default=2048)
@@ -69,6 +75,9 @@ def main(argv=None) -> None:
 
     qcfg = None
     if args.quantize:
+        if args.quantize_bmm_input is None:
+            # reference per-arch defaults (fake_quant.py:381,468,568,675)
+            args.quantize_bmm_input = arch in ("opt", "falcon", "bloom")
         qcfg = QuantConfig(
             weight_quant=args.weight_quant, act_quant=args.act_quant,
             quantize_bmm_input=args.quantize_bmm_input,

@@ -37,18 +37,8 @@ def _unpack_nibbles(packed: jax.Array) -> tuple[jax.Array, jax.Array]:
     return lo.astype(jnp.int8), hi.astype(jnp.int8)
 
 
-def _kernel(x_lo_ref, x_hi_ref, xs_lo_ref, xs_hi_ref, wp_ref,
-            ws_lo_ref, ws_hi_ref, x_sal_ref, w_sal_t_ref, out_ref, *, gpt: int):
-    k = pl.program_id(2)
-
-    @pl.when(k == 0)
-    def _init():
-        out_ref[:] = jax.lax.dot_general(
-            x_sal_ref[:], w_sal_t_ref[:],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
+def _accum_halves(x_lo_ref, x_hi_ref, xs_lo_ref, xs_hi_ref, wp_ref,
+                  ws_lo_ref, ws_hi_ref, out_ref, gpt: int):
     w_lo, w_hi = _unpack_nibbles(wp_ref[:])  # each (gpt, gs, TO)
 
     # static Python loop: values (w_lo/w_hi) can't be dynamically indexed in
@@ -66,6 +56,34 @@ def _kernel(x_lo_ref, x_hi_ref, xs_lo_ref, xs_hi_ref, wp_ref,
             preferred_element_type=jnp.int32,
         ).astype(jnp.float32)
         out_ref[:] += p_hi * xs_hi_ref[gg][:, None] * ws_hi_ref[gg][None, :]
+
+
+def _kernel(x_lo_ref, x_hi_ref, xs_lo_ref, xs_hi_ref, wp_ref,
+            ws_lo_ref, ws_hi_ref, x_sal_ref, w_sal_t_ref, out_ref, *, gpt: int):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _init():
+        out_ref[:] = jax.lax.dot_general(
+            x_sal_ref[:], w_sal_t_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    _accum_halves(x_lo_ref, x_hi_ref, xs_lo_ref, xs_hi_ref, wp_ref,
+                  ws_lo_ref, ws_hi_ref, out_ref, gpt)
+
+
+def _kernel_nosal(x_lo_ref, x_hi_ref, xs_lo_ref, xs_hi_ref, wp_ref,
+                  ws_lo_ref, ws_hi_ref, out_ref, *, gpt: int):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    _accum_halves(x_lo_ref, x_hi_ref, xs_lo_ref, xs_hi_ref, wp_ref,
+                  ws_lo_ref, ws_hi_ref, out_ref, gpt)
 
 
 @functools.partial(
@@ -103,14 +121,11 @@ def int4_group_matmul(
     n_pad = _ceil_to(n, tile_n)
     o_pad = _ceil_to(o, min(tile_o, _ceil_to(o, 128)))
     tile_o = min(tile_o, o_pad)
-    # Mosaic sublane rule: the scales block's leading dim (tile_g) must be
-    # 8-divisible or cover the whole (padded) group axis
-    if g_half <= tile_g:
-        tile_g = g_half
-        g_half_pad = g_half
-    else:
-        tile_g = _ceil_to(min(tile_g, g_half), 8)
-        g_half_pad = _ceil_to(g_half, tile_g)
+    # Mosaic sublane rule: the 2-D scale blocks' leading dim (tile_g) must be
+    # 8-divisible (it is never the full axis — the arrays hold BOTH halves,
+    # 2*g_half rows).  Pad each half up to whole 8-group tiles.
+    tile_g = _ceil_to(min(tile_g, g_half), 8)
+    g_half_pad = _ceil_to(g_half, tile_g)
 
     if n_pad != n:
         x_q = jnp.pad(x_q, ((0, n_pad - n), (0, 0)))
@@ -144,32 +159,42 @@ def int4_group_matmul(
 
     grid = (n_pad // tile_n, o_pad // tile_o, g_half // tile_g)
 
-    out = pl.pallas_call(
-        functools.partial(_kernel, gpt=tile_g),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((tile_g, tile_n, group_size), lambda i, j, k: (k, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_g, tile_n, group_size),
-                         lambda i, j, k, gh=g_half // tile_g: (k + gh, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_g, tile_n), lambda i, j, k: (k, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_g, tile_n),
-                         lambda i, j, k, gh=g_half // tile_g: (k + gh, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_g, group_size, tile_o), lambda i, j, k: (k, 0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_g, tile_o), lambda i, j, k: (k, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_g, tile_o),
-                         lambda i, j, k, gh=g_half // tile_g: (k + gh, j),
-                         memory_space=pltpu.VMEM),
+    in_specs = [
+        pl.BlockSpec((tile_g, tile_n, group_size), lambda i, j, k: (k, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_g, tile_n, group_size),
+                     lambda i, j, k, gh=g_half // tile_g: (k + gh, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_g, tile_n), lambda i, j, k: (k, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_g, tile_n),
+                     lambda i, j, k, gh=g_half // tile_g: (k + gh, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_g, group_size, tile_o), lambda i, j, k: (k, 0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_g, tile_o), lambda i, j, k: (k, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_g, tile_o),
+                     lambda i, j, k, gh=g_half // tile_g: (k + gh, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [x3, x3, xs_t, xs_t, wp3, w_scales_t, w_scales_t]
+    if k_s:  # salient dual path present
+        kernel = functools.partial(_kernel, gpt=tile_g)
+        in_specs += [
             pl.BlockSpec((tile_n, k_s), lambda i, j, k: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((k_s, tile_o), lambda i, j, k: (0, j),
                          memory_space=pltpu.VMEM),
-        ],
+        ]
+        operands += [x_sal, w_sal_t]
+    else:
+        kernel = functools.partial(_kernel_nosal, gpt=tile_g)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((tile_n, tile_o), lambda i, j, k: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad, o_pad), jnp.float32),
@@ -184,6 +209,6 @@ def int4_group_matmul(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x3, x3, xs_t, xs_t, wp3, w_scales_t, w_scales_t, x_sal, w_sal_t)
+    )(*operands)
 
     return out[:n, :o].astype(out_dtype)

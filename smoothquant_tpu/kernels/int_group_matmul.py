@@ -32,6 +32,19 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _accum_groups(x3_ref, xs_ref, w3_ref, ws_ref, out_ref, gpt: int):
+    # static Python loop over the tile's groups (gpt is compile-time)
+    for gg in range(gpt):
+        partial = jax.lax.dot_general(
+            x3_ref[gg], w3_ref[gg],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)                     # (TN, TO)
+        sx = xs_ref[gg][:, None]                   # (TN, 1)
+        sw = ws_ref[gg][None, :]                   # (1, TO)
+        out_ref[:] += partial * sx * sw
+
+
 def _kernel(x3_ref, xs_ref, w3_ref, ws_ref, x_sal_ref, w_sal_t_ref,
             out_ref, *, gpt: int):
     k = pl.program_id(2)
@@ -44,16 +57,17 @@ def _kernel(x3_ref, xs_ref, w3_ref, ws_ref, x_sal_ref, w_sal_t_ref,
             preferred_element_type=jnp.float32,
         )
 
-    # static Python loop over the tile's groups (gpt is compile-time)
-    for gg in range(gpt):
-        partial = jax.lax.dot_general(
-            x3_ref[gg], w3_ref[gg],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        ).astype(jnp.float32)                     # (TN, TO)
-        sx = xs_ref[gg][:, None]                   # (TN, 1)
-        sw = ws_ref[gg][None, :]                   # (1, TO)
-        out_ref[:] += partial * sx * sw
+    _accum_groups(x3_ref, xs_ref, w3_ref, ws_ref, out_ref, gpt)
+
+
+def _kernel_nosal(x3_ref, xs_ref, w3_ref, ws_ref, out_ref, *, gpt: int):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    _accum_groups(x3_ref, xs_ref, w3_ref, ws_ref, out_ref, gpt)
 
 
 @functools.partial(
@@ -117,23 +131,33 @@ def int_group_matmul(
 
     grid = (n_pad // tile_n, o_pad // tile_o, g_pad // tile_g)
 
-    out = pl.pallas_call(
-        functools.partial(_kernel, gpt=tile_g),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((tile_g, tile_n, group_size), lambda i, j, k: (k, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_g, tile_n), lambda i, j, k: (k, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_g, group_size, tile_o), lambda i, j, k: (k, 0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_g, tile_o), lambda i, j, k: (k, j),
-                         memory_space=pltpu.VMEM),
+    in_specs = [
+        pl.BlockSpec((tile_g, tile_n, group_size), lambda i, j, k: (k, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_g, tile_n), lambda i, j, k: (k, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_g, group_size, tile_o), lambda i, j, k: (k, 0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_g, tile_o), lambda i, j, k: (k, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [x3, xs_t, w3, w_scales_t]
+    if k_s:  # salient dual path present
+        kernel = functools.partial(_kernel, gpt=tile_g)
+        in_specs += [
             pl.BlockSpec((tile_n, k_s), lambda i, j, k: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((k_s, tile_o), lambda i, j, k: (0, j),
                          memory_space=pltpu.VMEM),
-        ],
+        ]
+        operands += [x_sal, w_sal_t]
+    else:
+        kernel = functools.partial(_kernel_nosal, gpt=tile_g)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((tile_n, tile_o), lambda i, j, k: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad, o_pad), jnp.float32),
@@ -148,6 +172,6 @@ def int_group_matmul(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x3, xs_t, w3, w_scales_t, x_sal, w_sal_t)
+    )(*operands)
 
     return out[:n, :o].astype(out_dtype)

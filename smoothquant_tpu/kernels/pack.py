@@ -60,7 +60,7 @@ class PackedMeta:
     out_features: int
     num_salient: int        # true salient count (before lane padding)
     k_ns: int               # padded non-salient width (multiple of group_size)
-    k_s: int                # padded salient width (multiple of LANE, >= 1 lane)
+    k_s: int                # padded salient width (multiple of LANE; 0 if none)
     group_size: int         # effective group size in the packed domain
     nibble: bool = False    # w_qt holds (k_ns/2, O) split-half packed bytes
 
@@ -121,7 +121,7 @@ def pack_linear(
     if nibble:
         # both halves must hold whole groups: k_ns multiple of 2*group_size
         k_ns = _ceil_to(k_ns, 2 * g)
-    k_s = _ceil_to(k, LANE) if k else LANE  # keep a lane-aligned (zero) block
+    k_s = _ceil_to(k, LANE) if k else 0  # no salient block at all when p=0
 
     w_qt, scales_t, w_sal_t = _pack_device(
         jnp.asarray(w), jnp.asarray(perm),

@@ -45,19 +45,7 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _kernel(x_ns_ref, x_sal_ref, w_qt_ref, scales_t_ref, w_sal_t_ref,
-            out_ref, *, group_size: int):
-    k = pl.program_id(2)
-
-    @pl.when(k == 0)
-    def _init():
-        # salient dual path: small dense block, fp precision
-        out_ref[:] = jax.lax.dot_general(
-            x_sal_ref[:], w_sal_t_ref[:],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
+def _accum_dequant(x_ns_ref, w_qt_ref, scales_t_ref, out_ref, group_size: int):
     tk, to = w_qt_ref.shape
     gpt = tk // group_size  # groups in this K tile
 
@@ -78,6 +66,33 @@ def _kernel(x_ns_ref, x_sal_ref, w_qt_ref, scales_t_ref, w_sal_t_ref,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+
+
+def _kernel(x_ns_ref, x_sal_ref, w_qt_ref, scales_t_ref, w_sal_t_ref,
+            out_ref, *, group_size: int):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _init():
+        # salient dual path: small dense block, fp precision
+        out_ref[:] = jax.lax.dot_general(
+            x_sal_ref[:], w_sal_t_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    _accum_dequant(x_ns_ref, w_qt_ref, scales_t_ref, out_ref, group_size)
+
+
+def _kernel_nosal(x_ns_ref, w_qt_ref, scales_t_ref, out_ref, *,
+                  group_size: int):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    _accum_dequant(x_ns_ref, w_qt_ref, scales_t_ref, out_ref, group_size)
 
 
 def _kernel_colscale(x_ns_ref, x_sal_ref, w_qt_ref, scales_t_ref, w_sal_t_ref,
@@ -107,6 +122,25 @@ def _kernel_colscale(x_ns_ref, x_sal_ref, w_qt_ref, scales_t_ref, w_sal_t_ref,
             preferred_element_type=jnp.float32,
         )
         out_ref[:] = acc_ref[:] * scales_t_ref[:].astype(jnp.float32) + sal
+
+
+def _kernel_colscale_nosal(x_ns_ref, w_qt_ref, scales_t_ref, out_ref, acc_ref,
+                           *, n_k: int):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jax.lax.dot_general(
+        x_ns_ref[:], w_qt_ref[:].astype(x_ns_ref.dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(k == n_k - 1)
+    def _():
+        out_ref[:] = acc_ref[:] * scales_t_ref[:].astype(jnp.float32)
 
 
 def _pick_tile_k(k_ns: int, group_size: int, want: int) -> int:
@@ -172,10 +206,12 @@ def dual_path_matmul(
     grid = (n_pad // tile_n, o_pad // tile_o, k_pad // tile_k)
     gpt = 1 if single_group else tile_k // group_size
 
+    x_sal_spec = pl.BlockSpec((tile_n, k_s), lambda i, j, k: (i, 0),
+                              memory_space=pltpu.VMEM)
+    w_sal_spec = pl.BlockSpec((k_s, tile_o), lambda i, j, k: (0, j),
+                              memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec((tile_n, tile_k), lambda i, j, k: (i, k),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((tile_n, k_s), lambda i, j, k: (i, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((tile_k, tile_o), lambda i, j, k: (k, j),
                      memory_space=pltpu.VMEM),
@@ -183,9 +219,12 @@ def dual_path_matmul(
                      (lambda i, j, k: (0, j)) if single_group
                      else (lambda i, j, k: (k, j)),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((k_s, tile_o), lambda i, j, k: (0, j),
-                     memory_space=pltpu.VMEM),
     ]
+    operands = [x_ns, w_qt, w_scales_t]
+    if k_s:
+        in_specs.insert(1, x_sal_spec)
+        in_specs.append(w_sal_spec)
+        operands = [x_ns, x_sal, w_qt, w_scales_t, w_sal_t]
     common = dict(
         grid=grid,
         in_specs=in_specs,
@@ -205,15 +244,17 @@ def dual_path_matmul(
         interpret=interpret,
     )
     if single_group:
+        kern = _kernel_colscale if k_s else _kernel_colscale_nosal
         out = pl.pallas_call(
-            functools.partial(_kernel_colscale, n_k=grid[2]),
+            functools.partial(kern, n_k=grid[2]),
             scratch_shapes=[pltpu.VMEM((tile_n, tile_o), jnp.float32)],
             **common,
-        )(x_ns, x_sal, w_qt, w_scales_t, w_sal_t)
+        )(*operands)
     else:
+        kern = _kernel if k_s else _kernel_nosal
         out = pl.pallas_call(
-            functools.partial(_kernel, group_size=group_size),
+            functools.partial(kern, group_size=group_size),
             **common,
-        )(x_ns, x_sal, w_qt, w_scales_t, w_sal_t)
+        )(*operands)
 
     return out[:n, :o].astype(out_dtype)

@@ -97,6 +97,10 @@ class ContinuousBatcher:
                         continue
                     buf = getattr(c, field)
                     row = getattr(rc, field)
+                    # a prefill bucket may exceed max_len; rows past max_len
+                    # are bucket padding (never attended to) — drop them
+                    if row.shape[0] > buf.shape[1]:
+                        row = row[: buf.shape[1]]
                     start = (slot,) + (0,) * (buf.ndim - 1)
                     new_fields[field] = jax.lax.dynamic_update_slice(
                         buf, row[None].astype(buf.dtype), start)
@@ -130,9 +134,11 @@ class ContinuousBatcher:
             ids = np.zeros((1, s_pad), np.int32)
             ids[0, :s_true] = req.prompt
             logits, kv_rows = self._prefill(self.params, jnp.asarray(ids))
-            # pad rows must never be attended to; cache pos advances past them
+            # cache pos resumes at the TRUE length: bucket-pad rows are never
+            # attended to (key_valid masks them) and decode overwrites them
+            # one token at a time, so padding consumes no cache capacity
             self.caches = self._scatter(self.caches, kv_rows,
-                                        jnp.int32(slot), jnp.int32(s_pad))
+                                        jnp.int32(slot), jnp.int32(s_true))
             self.key_valid[slot, :] = False
             self.key_valid[slot, :s_true] = True
             self.seq_pos[slot] = s_true

@@ -33,6 +33,18 @@ def tokens_file(tmp_path_factory):
     return path
 
 
+def test_quantize_bmm_input_flag_tristate():
+    # regression (ADVICE r1): the flag used to be store_true with default
+    # True — impossible to disable.  Now tri-state with per-arch defaults.
+    from smoothquant_tpu.cli.ppl_eval import build_parser
+
+    p = build_parser()
+    base = ["--model_path", "x"]
+    assert p.parse_args(base).quantize_bmm_input is None
+    assert p.parse_args(base + ["--quantize_bmm_input"]).quantize_bmm_input is True
+    assert p.parse_args(base + ["--no-quantize_bmm_input"]).quantize_bmm_input is False
+
+
 def test_hf_import_loads_tiny_opt(tiny_ckpt):
     from smoothquant_tpu.utils.hf_import import detect_arch, load_model
 

@@ -17,7 +17,8 @@ def rng():
 @pytest.mark.parametrize("n,o,k,gs", [
     (8, 256, 512, 64),
     (16, 128, 512, 128),
-    (8, 130, 384, 64),   # G=6, g_half=3 pads to 4; unaligned O
+    (8, 130, 384, 64),   # G=6, g_half=3 pads to 8; unaligned O
+    (8, 128, 256, 64),   # g_half=2 < 8: sublane-rule padding (ADVICE r1)
 ])
 def test_matches_unpacked_int_kernel(rng, n, o, k, gs):
     g = k // gs
@@ -57,6 +58,32 @@ def test_negative_nibbles_sign_extend(rng):
     )
     ref = (x_q.astype(np.int32) @ w_qt.astype(np.int32)).astype(np.float32)
     np.testing.assert_allclose(np.asarray(got), ref, atol=1e-2)
+
+
+def test_no_salient_block(rng):
+    # salient_prop=0 → k_s=0: kernels must run without any salient operands
+    n, o, k, gs = 8, 128, 512, 64
+    g = k // gs
+    x_q = rng.integers(-7, 8, size=(n, k)).astype(np.int8)
+    xs = rng.uniform(0.01, 0.2, size=(n, g)).astype(np.float32)
+    w_qt = rng.integers(-8, 8, size=(k, o)).astype(np.int8)
+    ws = rng.uniform(0.01, 0.2, size=(g, o)).astype(np.float32)
+    empty_x = jnp.zeros((n, 0), jnp.float32)
+    empty_w = jnp.zeros((0, o), jnp.float32)
+    packed = native.pack_nibbles_split(w_qt)
+    got = int4_group_matmul(
+        jnp.asarray(x_q), jnp.asarray(xs), jnp.asarray(packed), jnp.asarray(ws),
+        empty_x, empty_w, group_size=gs, interpret=True,
+    )
+    ref = int_group_matmul(
+        jnp.asarray(x_q), jnp.asarray(xs), jnp.asarray(w_qt), jnp.asarray(ws),
+        empty_x, empty_w, group_size=gs, interpret=True,
+    )
+    expected = ((x_q.astype(np.int32).reshape(n, g, gs)[..., None]
+                 * w_qt.astype(np.int32).reshape(g, gs, o)[None]).sum(2)
+                * xs[..., None] * ws[None]).sum(1)
+    np.testing.assert_allclose(np.asarray(got), expected, rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(ref), expected, rtol=1e-4, atol=1e-3)
 
 
 def test_half_group_alignment_guard(rng):

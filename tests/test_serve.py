@@ -98,6 +98,31 @@ class TestContinuousBatching:
         batcher.run_to_completion()
         assert req.generated == expected[:3]
 
+    def test_bucket_padding_near_max_len(self, tiny_llama):
+        # regression (ADVICE r1): prompt 30 buckets to 32; with max_len=32 and
+        # max_new=2 the bucket padding must not consume cache capacity
+        cfg, params = tiny_llama
+        rng = np.random.default_rng(7)
+        prompt = rng.integers(0, cfg.vocab_size, size=(30,))
+        b = ContinuousBatcher(jllama, params, cfg, max_batch=1, max_len=32)
+        req = Request(uid=0, prompt=prompt, max_new_tokens=2)
+        b.submit(req)
+        b.run_to_completion()
+        expected = greedy_oracle(jllama, params, cfg, list(prompt), 2)
+        assert req.generated == expected
+
+    def test_bucket_larger_than_max_len(self, tiny_llama):
+        # bucket(40) = 64 > max_len = 48: scatter must clip bucket-pad rows
+        cfg, params = tiny_llama
+        rng = np.random.default_rng(8)
+        prompt = rng.integers(0, cfg.vocab_size, size=(40,))
+        b = ContinuousBatcher(jllama, params, cfg, max_batch=1, max_len=48)
+        req = Request(uid=0, prompt=prompt, max_new_tokens=4)
+        b.submit(req)
+        b.run_to_completion()
+        expected = greedy_oracle(jllama, params, cfg, list(prompt), 4)
+        assert req.generated == expected
+
     def test_queue_overflow_guard(self, tiny_llama):
         cfg, params = tiny_llama
         batcher = ContinuousBatcher(jllama, params, cfg, max_batch=1, max_len=32)
