@@ -1,19 +1,31 @@
-"""Benchmark: flagship quantized decode throughput on the local accelerator.
+"""Benchmark: flagship quantized decode throughput at FULL 7B depth.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "detail": {...}}
 
-Headline (BASELINE.json): Llama-2-7B-dimension decoder slice, W4A4 g64
-5%-salient, REAL packed execution (int4-range weights in HBM, int8-MXU
-group matmul with output-side scaling).  Measured: single-token decode step
-over a warm KV cache at batch 8.  vs_baseline = speedup over the bf16
-unquantized decode of the same model on the same chip (the reference
-publishes no latency numbers, SURVEY.md §6 — bf16-on-chip is the honest
-baseline; >1.0 means the quantized path is faster).
+Headline (BASELINE.json): Llama-2-7B dimensions (4096 hidden / 11008 mlp /
+32 layers / 32000 vocab), W4A4 g64 5%-salient, REAL packed execution —
+nibble-packed int4 weights in HBM for the decoder body, int8 per-channel
+packed lm_head, int8-MXU group matmuls with output-side scaling.  Measured:
+single-token decode step over a warm KV cache at batch 4, full 32-layer
+depth, layers pre-stacked under lax.scan.
+
+vs_baseline = speedup over the bf16 unquantized decode of the same model on
+the same chip.  The bf16 model (13.5 GB) cannot be resident together with
+the packed model, so its full-depth step time is a two-point linear fit
+t(L) = a + b*L measured at L=4 and L=16 and evaluated at L=32 — the
+per-layer cost is HBM-bound and linear in depth; the intercept captures the
+shared lm_head/embedding/final-norm work.  (The reference publishes no
+latency numbers, SURVEY.md §6 — bf16-on-chip is the honest baseline.)
+
+detail carries the roofline evidence (VERDICT r1 weak #3): HBM bytes
+actually resident-and-read per step (packed weights + KV cache), achieved
+effective bandwidth, and the fraction of the chip's HBM roofline.
 """
 
 from __future__ import annotations
 
+import gc
 import json
 import sys
 
@@ -26,6 +38,21 @@ def _log(msg: str) -> None:
     print(f"# [{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
 
 
+BATCH, CACHE = 4, 512
+FULL_LAYERS = 32
+BF16_DEPTHS = (4, 16)
+
+# SMQ_BENCH_TINY=1: shrink every dimension and run Pallas in interpret mode —
+# a CPU-runnable plumbing smoke test of the exact bench code path.
+import os
+
+_TINY = bool(int(os.environ.get("SMQ_BENCH_TINY", "0")))
+if _TINY:
+    BATCH, CACHE = 2, 32
+    FULL_LAYERS = 3
+    BF16_DEPTHS = (1, 2)
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -36,73 +63,143 @@ def main() -> None:
                       "/root/.cache/jax_comp_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from smoothquant_tpu.models import ForwardContext, llama
-    from smoothquant_tpu.models.common import KVCache
-    from smoothquant_tpu.models.registry import pack_model
+    from smoothquant_tpu.kernels.pack import pack_linear
+    from smoothquant_tpu.models import llama
+    from smoothquant_tpu.models.common import ForwardContext
     from smoothquant_tpu.quant import w4a4_group
+    from smoothquant_tpu.quant.config import QuantConfig
+    from smoothquant_tpu.utils import roofline
     from smoothquant_tpu.utils.benchtools import time_steps
-    from __graft_entry__ import _flagship
 
-    batch, cache_len, n_layers = 4, 512, 4
-    _log("init flagship params")
-    cfg, params = _flagship(num_layers=n_layers)
     qcfg = w4a4_group(group_size=64, salient_prop=0.05)
+    head_qcfg = QuantConfig(weight_quant="per_channel", act_quant="per_token",
+                            quant_bits=8)
     rng = np.random.default_rng(0)
-    feat = {
-        f"model.layers.{i}.{g}.{p}": rng.uniform(
-            0.1, 1.0,
-            size=(cfg.intermediate_size if p == "down_proj" else cfg.hidden_size,))
-        for i in range(cfg.num_hidden_layers)
-        for g, ps in (("self_attn", ("q_proj", "k_proj", "v_proj", "o_proj")),
-                      ("mlp", ("gate_proj", "up_proj", "down_proj")))
-        for p in ps
+
+    def cfg_at(n):
+        import dataclasses
+
+        base = (llama.LlamaConfig(vocab_size=512, hidden_size=256,
+                                  intermediate_size=512,
+                                  num_attention_heads=4, num_key_value_heads=4)
+                if _TINY else llama.LlamaConfig.llama2_7b())
+        return dataclasses.replace(base, num_hidden_layers=n)
+
+    def make_step(cfg, ctx=None):
+        def step(t, p, c):
+            logits, _ = llama.forward(p, t, cfg, ctx=ctx, caches=c)
+            return logits[:, -1]
+
+        return step
+
+    tok = jnp.asarray(rng.integers(0, cfg_at(1).vocab_size, size=(BATCH, 1)))
+
+    # ---------------- bf16 baseline at two depths (linear fit to 32) -------
+    t_bf = {}
+    for depth in BF16_DEPTHS:
+        cfg = cfg_at(depth)
+        _log(f"bf16 init depth {depth}")
+        params = llama.init_params(jax.random.PRNGKey(1), cfg)
+        params = llama.stack_layers(params, cfg)
+        caches = llama.stacked_caches(cfg, BATCH, CACHE, jnp.bfloat16,
+                                      pos=CACHE - 64)
+        _log(f"bf16 decode timing depth {depth} (compiles on first run)")
+        t_bf[depth] = time_steps(make_step(cfg), (tok, params, caches), iters=16)
+        _log(f"bf16 depth {depth}: {t_bf[depth]*1e3:.2f} ms/step")
+        del params, caches
+        gc.collect()
+
+    d0, d1 = BF16_DEPTHS
+    per_layer = (t_bf[d1] - t_bf[d0]) / (d1 - d0)
+    t_bf_est = t_bf[d0] + per_layer * (FULL_LAYERS - d0)
+    _log(f"bf16 fit: {per_layer*1e3:.3f} ms/layer, "
+         f"est {FULL_LAYERS}L = {t_bf_est*1e3:.2f} ms/step")
+
+    # ---------------- packed model, full depth, built layer-by-layer -------
+    cfg = cfg_at(FULL_LAYERS)
+    key = jax.random.PRNGKey(2)
+    _log("building + packing full-depth model (layer by layer)")
+    layers = {}
+    for i in range(cfg.num_hidden_layers):
+        lp = llama.init_layer_params(jax.random.fold_in(key, i), cfg)
+        for group, names in (("self_attn", llama.ATTN_PROJS),
+                             ("mlp", llama.MLP_PROJS)):
+            for nm in names:
+                lin = lp[group][nm]
+                c_in = lin["weight"].shape[1]
+                imp = rng.uniform(0.1, 1.0, size=(c_in,))
+                lp[group][nm] = pack_linear(lin, qcfg, importance=imp,
+                                            nibble=True)
+        layers[str(i)] = lp
+        if i % 8 == 7:
+            _log(f"  packed {i + 1}/{cfg.num_hidden_layers} layers")
+    h = cfg.hidden_size
+    lm_head = llama._init_lin(jax.random.fold_in(key, 1000), cfg.vocab_size,
+                              h, False, jnp.bfloat16)
+    packed = {
+        "embed_tokens": {"weight": jax.random.normal(
+            jax.random.fold_in(key, 1001), (cfg.vocab_size, h), jnp.bfloat16) * 0.02},
+        "layers": layers,
+        "norm": {"weight": jnp.ones((h,), jnp.bfloat16)},
+        "lm_head": pack_linear(lm_head, head_qcfg),
     }
-    _log("packing model")
-    packed = pack_model("llama", params, cfg, qcfg, input_feat=feat, nibble=True)
-    ctx = ForwardContext(quant=qcfg, compute="int")
-    _log("packed")
+    del lm_head, layers
+    packed = llama.stack_layers(packed, cfg)
+    gc.collect()
+    _log("packed model ready; timing quant decode (compiles on first run)")
 
-    def make_caches():
-        caches = [
-            KVCache.create(batch, cache_len, cfg.num_key_value_heads,
-                           cfg.head_dim, jnp.bfloat16)
-            for _ in range(cfg.num_hidden_layers)
-        ]
-        # warm cache: pretend cache_len - 64 tokens are present
-        return [KVCache(k=c.k, v=c.v, pos=jnp.int32(cache_len - 64)) for c in caches]
+    caches = llama.stacked_caches(cfg, BATCH, CACHE, jnp.bfloat16,
+                                  pos=CACHE - 64)
+    ctx = ForwardContext(quant=qcfg, compute="int", interpret=_TINY)
+    t_q = time_steps(make_step(cfg, ctx), (tok, packed, caches), iters=16)
+    _log(f"quant decode {t_q*1e3:.2f} ms/step at {FULL_LAYERS} layers")
 
-    caches = make_caches()
-    tok = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(batch, 1)))
+    # ---------------- roofline accounting ----------------------------------
+    # bytes the decode step actually streams from HBM: every packed-weight
+    # byte (int4 nibbles + scales + salient blocks + lm_head int8) plus the
+    # full KV cache read by attention.  The embedding table is gathered
+    # (B rows), not streamed — excluded.
+    weight_bytes = sum(
+        l.nbytes for l in jax.tree.leaves(
+            {k: v for k, v in packed.items() if k != "embed_tokens"}))
+    kv_bytes = caches.k.nbytes + caches.v.nbytes
+    total_bytes = weight_bytes + kv_bytes
+    chip = roofline.detect_chip()
+    achieved_bw = total_bytes / t_q
+    bound_s = total_bytes / chip.hbm_bw
+    # bf16 equivalent traffic, for context
+    bf16_layer_bytes = 2 * (4 * h * h + 3 * h * cfg.intermediate_size)
+    bf16_bytes = (FULL_LAYERS * bf16_layer_bytes + 2 * cfg.vocab_size * h
+                  + kv_bytes)
 
-    # params/caches must be jit ARGUMENTS, not closure constants — closed-over
-    # arrays get baked into the module as constants and constant-folding a
-    # multi-GB model explodes compile time (utils/benchtools.py caveat).
-    def decode_quant(t, p, c):
-        logits, _ = llama.forward(p, t, cfg, ctx=ctx, caches=c)
-        return logits[:, -1]
-
-    def decode_bf16(t, p, c):
-        logits, _ = llama.forward(p, t, cfg, caches=c)
-        return logits[:, -1]
-
-    _log("timing quant decode (compiles on first run)")
-    t_q = time_steps(decode_quant, (tok, packed, caches), iters=16)
-    _log(f"quant decode {t_q*1e3:.2f} ms; timing bf16 decode")
-    t_bf = time_steps(decode_bf16, (tok, params, caches), iters=16)
-    _log(f"bf16 decode {t_bf*1e3:.2f} ms")
-
-    tokens_per_s = batch / t_q
-    vs_baseline = t_bf / t_q
+    tokens_per_s = BATCH / t_q
+    vs_baseline = t_bf_est / t_q
 
     print(json.dumps({
-        "metric": "llama7b-dim W4A4 g64 5%-salient int4-packed decode throughput",
+        "metric": ("llama2-7B-dim W4A4 g64 5%-salient nibble-packed decode "
+                   "throughput (full 32-layer depth)"),
         "value": round(tokens_per_s, 1),
         "unit": "tokens/s/chip",
         "vs_baseline": round(vs_baseline, 4),
+        "detail": {
+            "t_quant_ms": round(t_q * 1e3, 3),
+            "t_bf16_est_ms": round(t_bf_est * 1e3, 3),
+            "t_bf16_measured_ms": {str(d): round(t_bf[d] * 1e3, 3)
+                                   for d in BF16_DEPTHS},
+            "weight_gb": round(weight_bytes / 1e9, 3),
+            "kv_gb": round(kv_bytes / 1e9, 3),
+            "bf16_equiv_gb": round(bf16_bytes / 1e9, 3),
+            "achieved_hbm_gbps": round(achieved_bw / 1e9, 1),
+            "hbm_roofline_frac": round(achieved_bw / chip.hbm_bw, 3),
+            "roofline_bound_ms": round(bound_s * 1e3, 3),
+            "chip": chip.name,
+            "batch": BATCH, "cache_len": CACHE, "layers": FULL_LAYERS,
+        },
     }))
     print(
-        f"# quant decode {t_q*1e3:.2f} ms/step, bf16 {t_bf*1e3:.2f} ms/step, "
-        f"batch={batch}, cache={cache_len}, layers={n_layers}, "
+        f"# quant {t_q*1e3:.2f} ms/step vs bf16(est 32L) {t_bf_est*1e3:.2f} "
+        f"ms/step; {achieved_bw/1e9:.0f} GB/s effective "
+        f"({achieved_bw/chip.hbm_bw:.0%} of {chip.name} HBM peak); "
         f"platform={jax.devices()[0].platform}",
         file=sys.stderr,
     )

@@ -61,8 +61,19 @@ class PackedMeta:
     num_salient: int        # true salient count (before lane padding)
     k_ns: int               # padded non-salient width (multiple of group_size)
     k_s: int                # padded salient width (multiple of LANE; 0 if none)
-    group_size: int         # effective group size in the packed domain
+    group_size: int         # effective WEIGHT group size in the packed domain
     nibble: bool = False    # w_qt holds (k_ns/2, O) split-half packed bytes
+    # The activation recipe travels WITH the layer so models can mix
+    # precisions (e.g. int8 per-token lm_head over an int4 per-group body):
+    act_quant: str = "per_token"
+    act_bits: int = 8
+    act_group_size: int = 128
+    # How a tensor-parallel forward combines this layer's per-device outputs:
+    # "gather" = column-parallel + all-gather (v1 scheme, every linear),
+    # "none"   = column-parallel, output stays head/neuron-sharded (Megatron
+    #            q/k/v/gate/up), "psum" = row-parallel partial sums
+    #            all-reduced (Megatron o_proj/down_proj/fc2).
+    tp_reduce: str = "gather"
 
 
 def effective_group_size(cfg: QuantConfig, k_ns_raw: int) -> int:
@@ -142,7 +153,66 @@ def pack_linear(
         meta=PackedMeta(
             in_features=c, out_features=o, num_salient=k,
             k_ns=k_ns, k_s=k_s, group_size=g, nibble=nibble,
+            act_quant=cfg.act_quant, act_bits=cfg.effective_act_bits,
+            act_group_size=cfg.group_size,
         ),
+    )
+
+
+def pack_linear_row_sharded(
+    params: dict,
+    cfg: QuantConfig,
+    tp: int,
+    importance: Optional[np.ndarray] = None,
+    act_absmax: Optional[np.ndarray] = None,
+    compute_dtype=jnp.bfloat16,
+    nibble: bool = False,
+) -> PackedLinear:
+    """Pack a ROW-parallel (input-sharded) linear for Megatron-style TP.
+
+    The input axis is split into `tp` contiguous K-shards and each shard is
+    packed independently — its own magnitude sort, salient selection, group
+    scales and permutation are all LOCAL to the shard, so no quantization
+    group or salient gather ever crosses a device boundary.  Fields are
+    concatenated along their K-ish leading axis; sharding each with
+    P(tp, ...) in shard_map hands every device exactly its own shard.  meta
+    carries LOCAL dimensions (what one device sees) and tp_reduce="psum".
+
+    Numerics note (documented divergence from single-chip packing): sorting,
+    per-token activation scales and salient top-k are computed per shard
+    instead of globally — a strictly finer granularity.  For
+    per_group_unsorted recipes with group_size | (C/tp) and salient_prop=0
+    the result is bit-identical to single-chip.
+
+    Bias is stored pre-divided by tp so the post-matmul psum reconstitutes
+    it exactly once.
+    """
+    w = params["weight"]
+    o, c = w.shape
+    if c % tp:
+        raise ValueError(f"in_features {c} not divisible by tp={tp}")
+    ksz = c // tp
+    shards = []
+    for s in range(tp):
+        sl = slice(s * ksz, (s + 1) * ksz)
+        shards.append(pack_linear(
+            {"weight": w[:, sl], "bias": None}, cfg,
+            importance=None if importance is None else np.asarray(importance)[sl],
+            act_absmax=None if act_absmax is None else np.asarray(act_absmax)[sl],
+            compute_dtype=compute_dtype, nibble=nibble,
+        ))
+    m0 = shards[0].meta
+    assert all(p.meta == m0 for p in shards), "non-uniform shard layouts"
+
+    bias = params.get("bias")
+    return PackedLinear(
+        w_qt=jnp.concatenate([p.w_qt for p in shards], axis=0),
+        w_scales_t=jnp.concatenate([p.w_scales_t for p in shards], axis=0),
+        w_sal_t=(jnp.concatenate([p.w_sal_t for p in shards], axis=0)
+                 if m0.k_s else shards[0].w_sal_t),
+        bias=None if bias is None else jnp.asarray(bias) / tp,
+        perm=jnp.concatenate([p.perm for p in shards]),
+        meta=dataclasses.replace(m0, tp_reduce="psum"),
     )
 
 
@@ -184,29 +254,31 @@ def _pack_device(w, perm, *, k_ns_raw, k_ns, k_s, g, weight_quant, quant_bits,
 
 
 def quantize_activations_packed(
-    x_perm: jax.Array, meta: PackedMeta, cfg: QuantConfig
+    x_perm: jax.Array, meta: PackedMeta, cfg: Optional[QuantConfig] = None
 ) -> tuple[jax.Array, jax.Array]:
     """Split a permuted activation into (Q-DQ'd non-salient, salient).
 
     x_perm: (N, C) already permuted by PackedLinear.perm.  Non-salient
-    channels are zero-padded to k_ns and quantized at cfg.act_quant
-    granularity; because the static permutation already ordered channels by
-    magnitude, the "sorted" group variant reduces to plain contiguous
-    grouping here.
+    channels are zero-padded to k_ns and quantized at meta.act_quant
+    granularity (the recipe recorded at pack time; `cfg` is accepted for
+    backward compatibility and ignored); because the static permutation
+    already ordered channels by magnitude, the "sorted" group variant
+    reduces to plain contiguous grouping here.
     """
+    del cfg
     n = x_perm.shape[0]
     k_ns_raw = meta.in_features - meta.num_salient
     x_ns = x_perm[:, :k_ns_raw]
     if meta.k_ns != k_ns_raw:
         x_ns = jnp.pad(x_ns, ((0, 0), (0, meta.k_ns - k_ns_raw)))
 
-    if cfg.act_quant == "per_token":
-        x_ns_q = core.quantize_activation_per_token_absmax(x_ns, cfg.effective_act_bits)
-    elif cfg.act_quant == "per_tensor":
-        x_ns_q = core.quantize_activation_per_tensor_absmax(x_ns, cfg.effective_act_bits)
+    if meta.act_quant == "per_token":
+        x_ns_q = core.quantize_activation_per_token_absmax(x_ns, meta.act_bits)
+    elif meta.act_quant == "per_tensor":
+        x_ns_q = core.quantize_activation_per_tensor_absmax(x_ns, meta.act_bits)
     else:  # per_group (static-sorted) / per_group_unsorted
         x_ns_q = core.quantize_activation_per_group_absmax(
-            x_ns, cfg.effective_act_bits, cfg.group_size
+            x_ns, meta.act_bits, meta.act_group_size
         )
 
     x_sal = jnp.zeros((n, meta.k_s), x_perm.dtype)
@@ -216,7 +288,7 @@ def quantize_activations_packed(
 
 
 def quantize_activations_packed_int(
-    x_perm: jax.Array, meta: PackedMeta, cfg: QuantConfig
+    x_perm: jax.Array, meta: PackedMeta, cfg: Optional[QuantConfig] = None
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Integer-domain variant for the int-compute kernel.
 
@@ -225,9 +297,12 @@ def quantize_activations_packed_int(
     weight group (required for the output-side scale factorization).  The
     dequantized product x_q * x_scales reproduces quantize_activations_packed
     bit-for-bit for per_token / per_tensor / matching per_group recipes.
+    The recipe comes from meta (recorded at pack time); `cfg` is accepted
+    for backward compatibility and ignored.
     """
     from smoothquant_tpu.quant.core import compute_scale
 
+    del cfg
     n = x_perm.shape[0]
     k_ns_raw = meta.in_features - meta.num_salient
     g_w = meta.k_ns // meta.group_size
@@ -236,24 +311,24 @@ def quantize_activations_packed_int(
         x_ns = jnp.pad(x_ns, ((0, 0), (0, meta.k_ns - k_ns_raw)))
     xf = x_ns.astype(jnp.float32)
 
-    if cfg.act_quant == "per_token":
+    if meta.act_quant == "per_token":
         absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
-        scales = compute_scale(absmax, cfg.effective_act_bits)  # (N, 1)
+        scales = compute_scale(absmax, meta.act_bits)  # (N, 1)
         x_q = jnp.round(xf / scales).astype(jnp.int8)
         x_scales = jnp.broadcast_to(scales, (n, g_w))
-    elif cfg.act_quant == "per_tensor":
-        scale = compute_scale(jnp.max(jnp.abs(xf)), cfg.effective_act_bits)
+    elif meta.act_quant == "per_tensor":
+        scale = compute_scale(jnp.max(jnp.abs(xf)), meta.act_bits)
         x_q = jnp.round(xf / scale).astype(jnp.int8)
         x_scales = jnp.broadcast_to(scale, (n, g_w))
     else:  # per-group: activation groups must align with weight groups
-        if cfg.group_size != meta.group_size:
+        if meta.act_group_size != meta.group_size:
             raise ValueError(
                 f"int-compute path needs act group_size == weight group_size "
-                f"({cfg.group_size} != {meta.group_size})"
+                f"({meta.act_group_size} != {meta.group_size})"
             )
         xg = xf.reshape(n, g_w, meta.group_size)
         absmax = jnp.max(jnp.abs(xg), axis=-1, keepdims=True)
-        scales = compute_scale(absmax, cfg.effective_act_bits)  # (N, G, 1)
+        scales = compute_scale(absmax, meta.act_bits)  # (N, G, 1)
         x_q = jnp.round(xg / scales).astype(jnp.int8).reshape(n, meta.k_ns)
         x_scales = scales[..., 0]
 

@@ -9,6 +9,8 @@ same kernel (SURVEY.md §2.7 "north star" kernel).
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 
@@ -27,18 +29,18 @@ from smoothquant_tpu.quant.config import QuantConfig
 _INT_PATH_MAX_TOKENS = 256
 
 
-def _int_path_supported(cfg: QuantConfig, meta) -> bool:
-    if cfg.effective_act_bits > 8:
+def _int_path_supported(meta) -> bool:
+    if meta.act_bits > 8:
         return False  # activation values must fit the int8 container
-    if cfg.act_quant in ("per_token", "per_tensor"):
+    if meta.act_quant in ("per_token", "per_tensor"):
         return True
-    return cfg.group_size == meta.group_size
+    return meta.act_group_size == meta.group_size
 
 
 def real_quant_linear(
     packed: PackedLinear,
     x: jax.Array,
-    cfg: QuantConfig,
+    cfg: Optional[QuantConfig] = None,  # compat; recipe lives in packed.meta
     *,
     compute: str = "auto",  # "auto" | "dequant" | "int"
     interpret: bool = False,
@@ -47,11 +49,14 @@ def real_quant_linear(
     """y = act_qdq(x) @ W_qdq^T + bias with true int-weight storage.
 
     x: (..., in_features).  Matches the simulated quant_linear numerics in
-    the packed (static-permutation) domain.  compute picks the kernel:
-    "int" = int8-MXU matmul with output-side scaling (decode-optimal),
-    "dequant" = in-VMEM weight dequant + bf16 MXU (prefill-optimal),
-    "auto" = by token count.
+    the packed (static-permutation) domain.  The quantization recipe is
+    self-contained in packed.meta (recorded at pack time), so models can mix
+    per-layer recipes (e.g. int8 lm_head over an int4 body).  compute picks
+    the kernel: "int" = int8-MXU matmul with output-side scaling
+    (decode-optimal), "dequant" = in-VMEM weight dequant + bf16 MXU
+    (prefill-optimal), "auto" = by token count.
     """
+    del cfg
     meta = packed.meta
     shape = x.shape
     x2d = x.reshape(-1, shape[-1])
@@ -62,12 +67,12 @@ def real_quant_linear(
         compute = "int"  # nibble storage is only consumable by the int path
     elif compute == "auto":
         compute = ("int" if n_tokens <= _INT_PATH_MAX_TOKENS
-                   and _int_path_supported(cfg, meta) else "dequant")
-    if compute == "int" and not _int_path_supported(cfg, meta):
-        raise ValueError("int compute path unsupported for this QuantConfig")
+                   and _int_path_supported(meta) else "dequant")
+    if compute == "int" and not _int_path_supported(meta):
+        raise ValueError("int compute path unsupported for this recipe")
 
     if compute == "int":
-        x_q, x_scales, x_sal = quantize_activations_packed_int(x_perm, meta, cfg)
+        x_q, x_scales, x_sal = quantize_activations_packed_int(x_perm, meta)
         kernel = int4_group_matmul if meta.nibble else int_group_matmul
         y = kernel(
             x_q, x_scales, packed.w_qt, packed.w_scales_t,
@@ -77,7 +82,7 @@ def real_quant_linear(
             interpret=interpret,
         )
     else:
-        x_ns_q, x_sal = quantize_activations_packed(x_perm, meta, cfg)
+        x_ns_q, x_sal = quantize_activations_packed(x_perm, meta)
         y = dual_path_matmul(
             x_ns_q.astype(x.dtype),
             x_sal.astype(x.dtype),

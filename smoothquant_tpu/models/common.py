@@ -71,15 +71,26 @@ def call_linear(
         from smoothquant_tpu.kernels.real_linear import real_quant_linear
         from smoothquant_tpu.quant import core
 
-        assert ctx is not None and ctx.quant is not None, (
-            "packed params require ForwardContext.quant"
-        )
-        y = real_quant_linear(params, x, ctx.quant, compute=ctx.compute,
-                              interpret=ctx.interpret)
-        if ctx.tp_axis is not None:
-            # column-parallel TP: each device computed its O-shard
-            y = jax.lax.all_gather(y, ctx.tp_axis, axis=-1, tiled=True)
-        if quantize_output and ctx.quant.quantize_bmm_input:
+        compute = ctx.compute if ctx is not None else "auto"
+        interpret = ctx.interpret if ctx is not None else False
+        if (ctx is not None and ctx.tp_axis is not None
+                and params.meta.tp_reduce == "psum"):
+            # Megatron row-parallel: local K-shard partial product, one
+            # all-reduce; bias is stored pre-divided by tp so the psum
+            # reconstitutes it exactly once
+            y = real_quant_linear(params, x, compute=compute,
+                                  interpret=interpret)
+            y = jax.lax.psum(y, ctx.tp_axis)
+        else:
+            y = real_quant_linear(params, x, compute=compute,
+                                  interpret=interpret)
+            if (ctx is not None and ctx.tp_axis is not None
+                    and params.meta.tp_reduce == "gather"):
+                # v1 column-parallel: each device computed its O-shard
+                y = jax.lax.all_gather(y, ctx.tp_axis, axis=-1, tiled=True)
+            # tp_reduce == "none": output stays sharded (Megatron col layers)
+        if (quantize_output and ctx is not None and ctx.quant is not None
+                and ctx.quant.quantize_bmm_input):
             aq = core.get_act_quantizer(ctx.quant.act_quant,
                                         ctx.quant.effective_act_bits,
                                         ctx.quant.group_size)

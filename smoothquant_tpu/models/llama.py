@@ -50,9 +50,14 @@ class LlamaConfig:
     mlp_bias: bool = False
     sliding_window: Optional[int] = None  # Mistral: 4096
     dtype: str = "bfloat16"
+    # set when heads are tensor-sharded: a shard's cfg carries LOCAL head
+    # counts while hidden_size stays global, so head_dim can't be derived
+    head_dim_value: Optional[int] = None
 
     @property
     def head_dim(self) -> int:
+        if self.head_dim_value is not None:
+            return self.head_dim_value
         return self.hidden_size // self.num_attention_heads
 
     @classmethod
@@ -89,34 +94,52 @@ ATTN_PROJS = ("q_proj", "k_proj", "v_proj", "o_proj")
 MLP_PROJS = ("gate_proj", "up_proj", "down_proj")
 
 
-def init_params(key: jax.Array, cfg: LlamaConfig) -> dict:
+def _init_lin(k, out_f, in_f, bias, dtype):
+    p = {"weight": (jax.random.normal(k, (out_f, in_f), dtype) * (in_f ** -0.5))}
+    p["bias"] = jnp.zeros((out_f,), dtype) if bias else None
+    return p
+
+
+def init_layer_params(key: jax.Array, cfg: LlamaConfig) -> dict:
+    """One decoder layer's params — lets callers build deep models layer by
+    layer (pack-and-free) without materializing the full fp tree at once."""
+    return _init_layer(iter(jax.random.split(key, 7)), cfg)
+
+
+def _init_layer(keys, cfg: LlamaConfig) -> dict:
     dtype = jnp.dtype(cfg.dtype)
     h, inter = cfg.hidden_size, cfg.intermediate_size
     kv_dim = cfg.num_key_value_heads * cfg.head_dim
+    return {
+        "input_layernorm": {"weight": jnp.ones((h,), dtype)},
+        "post_attention_layernorm": {"weight": jnp.ones((h,), dtype)},
+        "self_attn": {
+            "q_proj": _init_lin(next(keys), h, h, cfg.attention_bias, dtype),
+            "k_proj": _init_lin(next(keys), kv_dim, h, cfg.attention_bias, dtype),
+            "v_proj": _init_lin(next(keys), kv_dim, h, cfg.attention_bias, dtype),
+            "o_proj": _init_lin(next(keys), h, h, False, dtype),
+        },
+        "mlp": {
+            "gate_proj": _init_lin(next(keys), inter, h, cfg.mlp_bias, dtype),
+            "up_proj": _init_lin(next(keys), inter, h, cfg.mlp_bias, dtype),
+            "down_proj": _init_lin(next(keys), h, inter, cfg.mlp_bias, dtype),
+        },
+    }
+
+
+def init_params(key: jax.Array, cfg: LlamaConfig) -> dict:
+    dtype = jnp.dtype(cfg.dtype)
+    h = cfg.hidden_size
+    # one flat split consumed 7-at-a-time keeps weights bit-identical to the
+    # original monolithic initializer
     keys = iter(jax.random.split(key, 4 + cfg.num_hidden_layers * 7))
 
     def lin(k, out_f, in_f, bias):
-        p = {"weight": (jax.random.normal(k, (out_f, in_f), dtype) * (in_f ** -0.5))}
-        p["bias"] = jnp.zeros((out_f,), dtype) if bias else None
-        return p
+        return _init_lin(k, out_f, in_f, bias, dtype)
 
     layers = {}
     for i in range(cfg.num_hidden_layers):
-        layers[str(i)] = {
-            "input_layernorm": {"weight": jnp.ones((h,), dtype)},
-            "post_attention_layernorm": {"weight": jnp.ones((h,), dtype)},
-            "self_attn": {
-                "q_proj": lin(next(keys), h, h, cfg.attention_bias),
-                "k_proj": lin(next(keys), kv_dim, h, cfg.attention_bias),
-                "v_proj": lin(next(keys), kv_dim, h, cfg.attention_bias),
-                "o_proj": lin(next(keys), h, h, False),
-            },
-            "mlp": {
-                "gate_proj": lin(next(keys), inter, h, cfg.mlp_bias),
-                "up_proj": lin(next(keys), inter, h, cfg.mlp_bias),
-                "down_proj": lin(next(keys), h, inter, cfg.mlp_bias),
-            },
-        }
+        layers[str(i)] = _init_layer(keys, cfg)
     params = {
         "embed_tokens": {"weight": jax.random.normal(next(keys), (cfg.vocab_size, h), dtype) * 0.02},
         "layers": layers,
@@ -183,12 +206,39 @@ def _decoder_layer(
     return residual + down, cache
 
 
+def stack_layers(params: dict, cfg: LlamaConfig) -> dict:
+    """Pre-stack the per-layer pytrees along a leading L axis (ONE copy, done
+    outside jit) so forward's lax.scan consumes them directly.
+
+    Passing a dict of 32 separate layer trees to a jitted scan forward would
+    re-stack (copy) every weight on every call; pre-stacked params make the
+    stack a one-time load-time cost.  Works for fp, simulated-quant, and
+    PackedLinear layer trees (registered dataclass pytrees stack leaf-wise).
+    With stacked params, `caches` must be a single stacked KVCache pytree
+    (leading L on every field, pos shape (L,) or (L, B)) instead of a list.
+    """
+    layer_list = [params["layers"][str(i)] for i in range(cfg.num_hidden_layers)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layer_list)
+    out = {k: v for k, v in params.items() if k != "layers"}
+    out["layers"] = {"stacked": stacked}
+    return out
+
+
+def stacked_caches(cfg: LlamaConfig, batch: int, max_len: int, dtype,
+                   pos: int = 0) -> KVCache:
+    """A scan-ready KV cache: every field carries a leading layers axis."""
+    shape = (cfg.num_hidden_layers, batch, max_len, cfg.num_key_value_heads,
+             cfg.head_dim)
+    return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
+                   pos=jnp.full((cfg.num_hidden_layers,), pos, jnp.int32))
+
+
 def forward(
     params: dict,
     input_ids: jax.Array,
     cfg: LlamaConfig,
     ctx: Optional[ForwardContext] = None,
-    caches: Optional[list[KVCache]] = None,
+    caches=None,
     positions: Optional[jax.Array] = None,
     attn_mask: Optional[jax.Array] = None,
     scan_layers: bool = False,
@@ -198,25 +248,35 @@ def forward(
     scan_layers=True runs the (homogeneous) layer stack under lax.scan so
     the decoder layer compiles ONCE instead of num_hidden_layers times —
     large compile-time win for deep models.  Calibration taps are per-layer
-    named and therefore unsupported under scan.
+    named and therefore unsupported under scan.  Params produced by
+    stack_layers() always take the scan path and expect a stacked KVCache.
     """
     b, s = input_ids.shape
+    stacked_mode = "stacked" in params["layers"]
     x = jnp.take(params["embed_tokens"]["weight"], input_ids, axis=0)
     if positions is None:
-        start = caches[0].pos if caches is not None else 0
-        start = jnp.asarray(start)
+        if caches is None:
+            start = jnp.asarray(0)
+        elif stacked_mode:
+            start = caches.pos[0]
+        else:
+            start = jnp.asarray(caches[0].pos)
         if start.ndim == 1:  # per-slot cache positions (continuous batching)
             start = start[:, None]
         positions = start + jax.lax.broadcasted_iota(jnp.int32, (b, s), 1)
     cos, sin = rotary_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
 
-    if scan_layers:
+    if scan_layers or stacked_mode:
         assert ctx is None or ctx.taps is None, "taps unsupported with scan"
-        layer_list = [params["layers"][str(i)]
-                      for i in range(cfg.num_hidden_layers)]
-        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layer_list)
-        stacked_caches = (None if caches is None
-                          else jax.tree.map(lambda *xs: jnp.stack(xs), *caches))
+        if stacked_mode:
+            stacked = params["layers"]["stacked"]
+            scan_caches = caches  # already stacked (leading L axis)
+        else:
+            layer_list = [params["layers"][str(i)]
+                          for i in range(cfg.num_hidden_layers)]
+            stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layer_list)
+            scan_caches = (None if caches is None
+                           else jax.tree.map(lambda *xs: jnp.stack(xs), *caches))
 
         def body(carry, layer_in):
             lp, cache = layer_in
@@ -224,12 +284,14 @@ def forward(
                                       cos, sin, ctx, cache, attn_mask)
             return y, cache
 
-        x, out_caches = jax.lax.scan(body, x, (stacked, stacked_caches))
-        if caches is not None:
+        x, out_caches = jax.lax.scan(body, x, (stacked, scan_caches))
+        if caches is None:
+            new_caches = None
+        elif stacked_mode:
+            new_caches = out_caches  # keep the stacked form
+        else:
             new_caches = [jax.tree.map(lambda a: a[i], out_caches)
                           for i in range(cfg.num_hidden_layers)]
-        else:
-            new_caches = None
     else:
         new_caches = [] if caches is not None else None
         for i in range(cfg.num_hidden_layers):
@@ -244,6 +306,10 @@ def forward(
     x = rms_norm(params["norm"], x, cfg.rms_norm_eps)
     if cfg.tie_word_embeddings or "lm_head" not in params:
         logits = unembed(x, params["embed_tokens"]["weight"])
+    elif not isinstance(params["lm_head"], dict):
+        # PackedLinear lm_head (real-kernel path; recipe travels in its meta)
+        logits = call_linear(params["lm_head"], x, "lm_head", ctx
+                             ).astype(jnp.float32)
     else:
         logits = jnp.einsum(
             "bsh,vh->bsv", x, params["lm_head"]["weight"].astype(x.dtype),

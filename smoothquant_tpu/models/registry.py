@@ -63,6 +63,7 @@ def pack_model(
     act_scales: Optional[dict] = None,
     compute_dtype=None,
     nibble: bool = False,
+    lm_head_qcfg: Optional[QuantConfig] = None,
 ) -> dict:
     """Replace every quantizable linear with a PackedLinear (real-kernel path).
 
@@ -70,6 +71,10 @@ def pack_model(
     act_scales: per-channel absmax (also the smoothing artifact) — used as
     the static sort key for group layouts.  Both keyed by HF module names.
     nibble: store weights 4-bit two-per-byte (decode-optimal, int path only).
+    lm_head_qcfg: when set and the model has an untied lm_head, also pack it
+    with this (typically W8A8 per-channel) recipe — the reference leaves the
+    lm_head fp16, which at decode re-reads V×H bf16 bytes every step and
+    caps the achievable speedup.
     """
     import jax.numpy as jnp
     import numpy as np
@@ -87,4 +92,8 @@ def pack_model(
         packed = pack_linear(lin, qcfg, importance=imp, act_absmax=absmax,
                              compute_dtype=compute_dtype, nibble=nibble)
         params = _set_path(params, path, packed)
+    if lm_head_qcfg is not None and isinstance(params.get("lm_head"), dict):
+        params = dict(params)
+        params["lm_head"] = pack_linear(params["lm_head"], lm_head_qcfg,
+                                        compute_dtype=compute_dtype)
     return params

@@ -38,6 +38,24 @@ OPT_LINEAR_STYLES = {
     "q_proj": COL, "k_proj": COL, "v_proj": COL, "out_proj": ROW,
     "fc1": COL, "fc2": ROW,
 }
+# falcon/bloom share the fused-QKV LayerNorm block shape
+FALCON_LINEAR_STYLES = {
+    "query_key_value": COL, "dense": ROW,
+    "dense_h_to_4h": COL, "dense_4h_to_h": ROW,
+}
+# mixtral: expert mlps are Megatron-split per expert; the tiny router gate
+# stays replicated (its output is num_experts logits, not shardable work)
+MIXTRAL_LINEAR_STYLES = {
+    "q_proj": COL, "k_proj": COL, "v_proj": COL, "o_proj": ROW,
+    "gate": REP, "w1": COL, "w3": COL, "w2": ROW,
+}
+
+ARCH_LINEAR_STYLES = {
+    "llama": LLAMA_LINEAR_STYLES, "mistral": LLAMA_LINEAR_STYLES,
+    "opt": OPT_LINEAR_STYLES,
+    "falcon": FALCON_LINEAR_STYLES, "bloom": FALCON_LINEAR_STYLES,
+    "mixtral": MIXTRAL_LINEAR_STYLES,
+}
 
 
 def _linear_spec(style: str) -> dict:
@@ -75,12 +93,17 @@ def _match_linear_specs(subtree: dict, styles: dict) -> dict:
 
 def param_specs(arch: str, params: dict) -> dict:
     """PartitionSpec pytree matching `params` for a registered architecture."""
-    styles = {"llama": LLAMA_LINEAR_STYLES, "mistral": LLAMA_LINEAR_STYLES,
-              "opt": OPT_LINEAR_STYLES}[arch]
+    try:
+        styles = ARCH_LINEAR_STYLES[arch]
+    except KeyError:
+        raise ValueError(
+            f"no TP styles for arch {arch!r} (have {sorted(ARCH_LINEAR_STYLES)})"
+        ) from None
     specs = _match_linear_specs(params, styles)
-    # vocab-shard the big embeddings
-    if "embed_tokens" in specs:
-        specs["embed_tokens"] = {"weight": P(TP_AXIS, None)}
+    # vocab-shard the big embeddings (falcon/bloom call them word_embeddings)
+    for emb in ("embed_tokens", "word_embeddings"):
+        if emb in specs:
+            specs[emb] = {"weight": P(TP_AXIS, None)}
     if "lm_head" in specs:
         specs["lm_head"] = {"weight": P(TP_AXIS, None), "bias": P(TP_AXIS)}
     return specs

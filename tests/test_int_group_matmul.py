@@ -81,14 +81,20 @@ class TestIntPathEndToEnd:
                                    atol=2e-3, rtol=1e-3)
 
     def test_mismatched_group_sizes_rejected(self, rng):
-        cfg = QuantConfig(weight_quant="per_group", act_quant="per_group",
-                          quant_bits=4, group_size=64)
+        # per-channel weights (one whole-row group) + per-group activations:
+        # act groups can't align with the single weight group, so the int
+        # path's output-side scale factorization is unrepresentable.  The
+        # recipe is carried by the packed meta itself (self-describing).
+        cfg = QuantConfig(weight_quant="per_channel", act_quant="per_group",
+                          quant_bits=4, group_size=32)
         w = rng.normal(size=(64, 256)).astype(np.float32)
         packed = pack_linear({"weight": w, "bias": None}, cfg,
                              compute_dtype=jnp.float32)
-        # fake a different act group size
-        bad = QuantConfig(weight_quant="per_group", act_quant="per_group",
-                          quant_bits=4, group_size=32)
+        assert packed.meta.act_group_size != packed.meta.group_size
         with pytest.raises(ValueError):
             real_quant_linear(packed, jnp.asarray(rng.normal(size=(4, 256)).astype(np.float32)),
-                              bad, compute="int", interpret=True)
+                              compute="int", interpret=True)
+        # auto must quietly fall back to the dequant kernel instead
+        y = real_quant_linear(packed, jnp.asarray(rng.normal(size=(4, 256)).astype(np.float32)),
+                              compute="auto", interpret=True)
+        assert np.all(np.isfinite(np.asarray(y)))

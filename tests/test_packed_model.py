@@ -153,6 +153,30 @@ class TestScanLayers:
                                        atol=1e-5)
             assert int(gc.pos) == int(rc.pos)
 
+    def test_prestacked_layers_match_loop(self, tiny_llama):
+        # stack_layers pre-stacks ONCE outside jit (the bench decode path);
+        # results must equal the per-layer loop, caches included
+        cfg, params = tiny_llama
+        ids = jnp.asarray(np.random.default_rng(23).integers(0, 256, size=(2, 7)))
+        ref, _ = jllama.forward(params, ids, cfg)
+        stacked = jllama.stack_layers(params, cfg)
+        got, _ = jllama.forward(stacked, ids, cfg)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+        caches = [jllama.KVCache.create(2, 8, cfg.num_key_value_heads,
+                                        cfg.head_dim, jnp.float32)
+                  for _ in range(cfg.num_hidden_layers)]
+        scache = jllama.stacked_caches(cfg, 2, 8, jnp.float32)
+        ref, ref_caches = jllama.forward(params, ids, cfg, caches=caches)
+        got, got_caches = jllama.forward(stacked, ids, cfg, caches=scache)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+        for i, rc in enumerate(ref_caches):
+            np.testing.assert_allclose(np.asarray(got_caches.k[i]),
+                                       np.asarray(rc.k), atol=1e-5)
+            assert int(got_caches.pos[i]) == int(rc.pos)
+
     def test_scan_rejects_taps(self, tiny_llama):
         from smoothquant_tpu.quant.calibrate import TapCollector
 
@@ -162,3 +186,41 @@ class TestScanLayers:
             jllama.forward(params, ids, cfg,
                            ctx=ForwardContext(taps=TapCollector()),
                            scan_layers=True)
+
+
+class TestPackedLmHead:
+    def test_lm_head_packed_int8_matches_fp_argmax(self, tiny_llama):
+        from smoothquant_tpu.kernels.pack import PackedLinear
+
+        cfg, params = tiny_llama
+        qcfg = QuantConfig(weight_quant="per_channel", act_quant="per_token",
+                           quant_bits=8)
+        packed = pack_model("llama", params, cfg, qcfg,
+                            compute_dtype=jnp.float32, lm_head_qcfg=qcfg)
+        assert isinstance(packed["lm_head"], PackedLinear)
+        # body recipe and head recipe travel separately in each meta
+        assert packed["lm_head"].meta.act_bits == 8
+        ids = jnp.asarray(np.random.default_rng(21).integers(0, 256, size=(1, 8)))
+        fp, _ = jllama.forward(params, ids, cfg)
+        real, _ = jllama.forward(packed, ids, cfg,
+                                 ctx=ForwardContext(quant=qcfg, interpret=True))
+        fp, real = np.asarray(fp), np.asarray(real)
+        assert np.all(np.isfinite(real))
+        agree = (fp.argmax(-1) == real.argmax(-1)).mean()
+        assert agree > 0.8, agree
+
+    def test_mixed_recipes_int4_body_int8_head(self, tiny_llama):
+        from smoothquant_tpu.quant.config import W8A8_SMOOTHQUANT
+
+        cfg, params = tiny_llama
+        body = w4a4_group(group_size=32)
+        head = QuantConfig(weight_quant="per_channel", act_quant="per_token",
+                           quant_bits=8)
+        packed = pack_model("llama", params, cfg, body,
+                            compute_dtype=jnp.float32, lm_head_qcfg=head)
+        assert packed["lm_head"].meta.act_quant == "per_token"
+        assert packed["layers"]["0"]["mlp"]["gate_proj"].meta.act_quant == "per_group"
+        ids = jnp.asarray(np.random.default_rng(22).integers(0, 256, size=(1, 6)))
+        real, _ = jllama.forward(packed, ids, cfg,
+                                 ctx=ForwardContext(quant=body, interpret=True))
+        assert np.all(np.isfinite(np.asarray(real)))

@@ -61,3 +61,112 @@ class TestTPPacked:
                             compute_dtype=jnp.float32)
         with pytest.raises(ValueError):
             assert_tp_divisible(packed, 7)
+
+
+class TestTPv2Megatron:
+    """pack_model_tp + make_tp_forward_v2: row-parallel o_proj/down_proj with
+    psum, local-head attention, two collectives per layer."""
+
+    @pytest.fixture(scope="class")
+    def mesh2(self):
+        return make_mesh(tp=2, dp=4)
+
+    def test_exact_vs_single_chip_unsorted_groups(self, mesh2):
+        # per_group_unsorted + no salient + group_size | shard: per-shard
+        # packing produces the SAME groups as global packing → only the psum
+        # reduction order differs from the single-chip sum
+        from smoothquant_tpu.parallel.tp_packed import (
+            make_tp_forward_v2, pack_model_tp)
+
+        cfg = jllama.LlamaConfig.tiny()
+        params = jllama.init_params(jax.random.PRNGKey(5), cfg)
+        qcfg = QuantConfig(weight_quant="per_group_unsorted",
+                           act_quant="per_group_unsorted",
+                           quant_bits=4, group_size=16)
+        single = pack_model("llama", params, cfg, qcfg,
+                            compute_dtype=jnp.float32)
+        ids = jnp.asarray(np.random.default_rng(6).integers(0, 256, size=(2, 9)))
+        ref, _ = jllama.forward(single, ids, cfg,
+                                ctx=ForwardContext(quant=qcfg, interpret=True))
+
+        tp_params = pack_model_tp("llama", params, cfg, qcfg, tp=2,
+                                  compute_dtype=jnp.float32)
+        fwd = make_tp_forward_v2(jllama, cfg, mesh2, interpret=True)(tp_params)
+        got = fwd(tp_params, ids)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-4, rtol=1e-4)
+
+    def test_flagship_recipe_tracks_v1(self, mesh2):
+        # sorted groups + salient: per-shard layout differs from global by
+        # design (documented divergence) — demand close logits + argmax
+        from smoothquant_tpu.parallel.tp_packed import (
+            make_tp_forward_v2, pack_model_tp)
+
+        cfg = jllama.LlamaConfig.tiny()
+        params = jllama.init_params(jax.random.PRNGKey(7), cfg)
+        qcfg = w4a4_group(group_size=16, salient_prop=0.1)
+        feat = {
+            key: np.random.default_rng(8).uniform(0.1, 1.0, size=(
+                cfg.intermediate_size if "down_proj" in key else cfg.hidden_size,))
+            for _, key, _ in jllama.quantizable_linears(cfg)
+        }
+        v1 = pack_model("llama", params, cfg, qcfg, input_feat=feat,
+                        compute_dtype=jnp.float32)
+        ref, _ = jllama.forward(v1, ids := jnp.asarray(
+            np.random.default_rng(9).integers(0, 256, size=(2, 8))), cfg,
+            ctx=ForwardContext(quant=qcfg, interpret=True))
+
+        tp_params = pack_model_tp("llama", params, cfg, qcfg, tp=2,
+                                  input_feat=feat, compute_dtype=jnp.float32)
+        fwd = make_tp_forward_v2(jllama, cfg, mesh2, interpret=True)(tp_params)
+        got = np.asarray(fwd(tp_params, ids))
+        ref = np.asarray(ref)
+        fp = np.asarray(jllama.forward(params, ids, cfg)[0])
+        assert np.all(np.isfinite(got))
+        # per-shard grouping is a different (finer) layout, so don't demand
+        # bit-parity with v1 — demand v2 tracks the FP model AS WELL AS v1
+        # does, and that the two quantized paths agree closely with each other
+        r_v2_fp = np.corrcoef(got.ravel(), fp.ravel())[0, 1]
+        r_v1_fp = np.corrcoef(ref.ravel(), fp.ravel())[0, 1]
+        r_v2_v1 = np.corrcoef(got.ravel(), ref.ravel())[0, 1]
+        assert r_v2_fp > r_v1_fp - 0.02, (r_v2_fp, r_v1_fp)
+        assert r_v2_v1 > 0.95, r_v2_v1
+
+    def test_two_collectives_per_layer(self, mesh2):
+        # v2 compiles to psum-per-block (2/layer); v1 all-gathers per linear
+        from smoothquant_tpu.parallel.tp_packed import (
+            make_tp_forward, make_tp_forward_v2, pack_model_tp)
+
+        cfg = jllama.LlamaConfig.tiny()
+        params = jllama.init_params(jax.random.PRNGKey(10), cfg)
+        qcfg = QuantConfig(weight_quant="per_group_unsorted",
+                           act_quant="per_group_unsorted",
+                           quant_bits=4, group_size=16)
+        ids = jnp.asarray(np.zeros((1, 8), np.int32))
+
+        tp_params = pack_model_tp("llama", params, cfg, qcfg, tp=2,
+                                  compute_dtype=jnp.float32)
+        fwd2 = make_tp_forward_v2(jllama, cfg, mesh2, interpret=True)(tp_params)
+        hlo2 = jax.jit(fwd2).lower(tp_params, ids).compile().as_text()
+
+        v1 = pack_model("llama", params, cfg, qcfg, compute_dtype=jnp.float32)
+        fwd1 = make_tp_forward(jllama, cfg, qcfg, mesh2, interpret=True)(v1)
+        hlo1 = jax.jit(fwd1).lower(v1, ids).compile().as_text()
+
+        n_layers = cfg.num_hidden_layers
+        ar2 = hlo2.count("all-reduce")
+        ag2 = hlo2.count("all-gather")
+        ag1 = hlo1.count("all-gather")
+        # two reduces per decoder layer (attention + mlp), none of v1's
+        # per-linear gathers in the decoder stack
+        assert ar2 <= 2 * n_layers + 2, (ar2, hlo2[:200])
+        assert ag2 < ag1, (ag2, ag1)
+        assert ag1 >= 7 * n_layers  # v1: one gather per linear
+
+    def test_kv_heads_divisibility_guard(self):
+        from smoothquant_tpu.parallel.tp_packed import make_tp_forward_v2
+
+        cfg = jllama.LlamaConfig.tiny()  # 2 kv heads
+        mesh = make_mesh(tp=4, dp=2)
+        with pytest.raises(ValueError):
+            make_tp_forward_v2(jllama, cfg, mesh)
