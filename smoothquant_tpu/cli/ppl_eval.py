@@ -30,6 +30,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--quant_bits", type=int, default=4)
     p.add_argument("--group_size", type=int, default=128)
     p.add_argument("--salient_prop", type=float, default=0.0)
+    p.add_argument("--sort_strategy", choices=["max", "mean_std", "argmax"],
+                   default="max",
+                   help="sorted-group channel ranking (README.md:34-37)")
     p.add_argument("--saliency_metric", choices=["act", "weight"], default="act",
                    help="'act' = calibrated mean-abs activations (reference "
                         "run_experiments path); 'weight' = per-channel mean "
@@ -83,6 +86,7 @@ def main(argv=None) -> None:
             quantize_bmm_input=args.quantize_bmm_input,
             salient_prop=args.salient_prop, quant_bits=args.quant_bits,
             group_size=args.group_size, alpha=args.alpha,
+            sort_strategy=args.sort_strategy,
         )
         input_feat = None
         if args.salient_prop > 0:

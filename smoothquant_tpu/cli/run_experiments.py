@@ -22,10 +22,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--salient_props", type=float, nargs="+",
                    default=[0.0, 0.01, 0.05, 0.1])
     p.add_argument("--quant_bits", type=int, default=4)
-    p.add_argument("--sort", choices=["max", "none"], default="max",
+    p.add_argument("--sort", choices=["max", "mean_std", "argmax", "none"],
+                   default="max",
                    help="group-quant channel ordering: 'max' = absmax-sorted "
-                        "(reference default), 'none' = unsorted — the "
-                        "README.md:55 ablation (19.56 vs 59.98 PPL at g=1024)")
+                        "(reference default), 'mean_std' = mean+3·std, "
+                        "'argmax' = position-of-absmax (README.md:34-37 "
+                        "strategies), 'none' = unsorted — the README.md:55 "
+                        "ablation (19.56 vs 59.98 PPL at g=1024)")
     p.add_argument("--n_samples", type=int, default=40)
     p.add_argument("--window", type=int, default=2048)
     p.add_argument("--calib_samples", type=int, default=256)
@@ -74,6 +77,8 @@ def main(argv=None) -> None:
             if args.sort == "none":
                 overrides.update(weight_quant="per_group_unsorted",
                                  act_quant="per_group_unsorted")
+            else:
+                overrides.update(sort_strategy=args.sort)
             qcfg = type(qcfg)(**{**qcfg.__dict__, **overrides})
             qparams = quantize_model(arch, params, cfg, qcfg,
                                      input_feat=input_feat if sp > 0 else None)

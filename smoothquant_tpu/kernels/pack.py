@@ -117,11 +117,14 @@ def pack_linear(
     is_sal[sal_idx] = True
     ns_idx = np.nonzero(~is_sal)[0]
 
-    # static sort of non-salient channels by magnitude key
+    # static sort of non-salient channels: calibrated per-channel absmax when
+    # available (it drives act- and, via smoothing, weight-group quality),
+    # else the weight-derived key at cfg.sort_strategy
     if cfg.weight_quant == "per_group" or cfg.act_quant == "per_group":
         key = (np.asarray(act_absmax, np.float64)[ns_idx]
                if act_absmax is not None
-               else np.asarray(jnp.max(jnp.abs(jnp.asarray(w)), axis=0))[ns_idx])
+               else np.asarray(core.sort_key(jnp.asarray(w),
+                                             cfg.sort_strategy))[ns_idx])
         ns_idx = ns_idx[np.argsort(key, kind="stable")]
 
     perm = np.concatenate([ns_idx, np.sort(sal_idx)]).astype(np.int32)

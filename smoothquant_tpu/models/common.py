@@ -47,7 +47,20 @@ class ForwardContext:
     interpret: bool = False  # run Pallas kernels in interpreter mode (CPU)
     tp_axis: Optional[str] = None  # inside shard_map: packed-linear outputs
     #                                are computed on local O-shards and
-    #                                all-gathered over this mesh axis
+    #                                combined over this mesh axis per
+    #                                meta.tp_reduce (gather / psum / none)
+    moe_dispatch: str = "dense"  # MoE execution: "dense" computes every
+    #                              expert weighted by routing probs (XLA-
+    #                              trivial, reference-equivalent numerics);
+    #                              "sparse" gathers routed tokens into
+    #                              capacity-bounded per-expert buffers —
+    #                              top-k/E of the dense FLOPs
+    moe_capacity_factor: float = 2.0  # sparse buffer slack: capacity =
+    #                                   ceil(topk * n / E * factor)
+    ep_axis: Optional[str] = None  # inside shard_map: experts are sharded
+    #                                over this mesh axis; each device runs
+    #                                its local experts and the combined MoE
+    #                                output is psum'd
 
 
 def call_linear(
@@ -93,7 +106,8 @@ def call_linear(
                 and ctx.quant.quantize_bmm_input):
             aq = core.get_act_quantizer(ctx.quant.act_quant,
                                         ctx.quant.effective_act_bits,
-                                        ctx.quant.group_size)
+                                        ctx.quant.group_size,
+                                        ctx.quant.sort_strategy)
             y = aq(y)
     elif ctx is not None and ctx.quant is not None:
         y = quant_linear(

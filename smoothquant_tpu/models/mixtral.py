@@ -111,26 +111,150 @@ def init_params(key: jax.Array, cfg: MixtralConfig) -> dict:
     }
 
 
-def _moe_block(bp: dict, x: jax.Array, cfg: MixtralConfig, layer_name: str,
-               ctx: Optional[ForwardContext]) -> jax.Array:
-    b, s, h = x.shape
+def stack_experts(params: dict, cfg: MixtralConfig) -> dict:
+    """Stack each layer's per-expert trees along a leading E axis (one copy,
+    outside jit).  Required for expert parallelism: the stacked leaves shard
+    cleanly with P("ep", ...) and each device slices its local experts."""
+    new_layers = {}
+    for i in range(cfg.num_hidden_layers):
+        lp = dict(params["layers"][str(i)])
+        moe = dict(lp["block_sparse_moe"])
+        ex = [moe["experts"][str(e)] for e in range(cfg.num_local_experts)]
+        moe["experts"] = {"stacked": jax.tree.map(lambda *xs: jnp.stack(xs), *ex)}
+        lp["block_sparse_moe"] = moe
+        new_layers[str(i)] = lp
+    out = dict(params)
+    out["layers"] = new_layers
+    return out
+
+
+def _experts_view(bp: dict):
+    """Per-expert param list from either dict-of-experts or stacked form."""
+    ex = bp["experts"]
+    if "stacked" in ex:
+        stacked = ex["stacked"]
+        e_local = jax.tree.leaves(stacked)[0].shape[0]
+        return [jax.tree.map(lambda a, e=e: a[e], stacked)
+                for e in range(e_local)], e_local
+    n = len(ex)
+    return [ex[str(e)] for e in range(n)], n
+
+
+def moe_capacity(n_tokens: int, cfg: MixtralConfig,
+                 capacity_factor: float) -> int:
+    """Static per-expert buffer size for sparse dispatch.
+
+    capacity = ceil(topk * n / E * factor), clamped to [1, n].  Per-expert
+    FLOPs drop from n (dense, every expert computes every token) to
+    capacity ≈ topk/E * n * factor — the top-2/8 saving the reference's
+    dense simulation leaves on the table (fake_quant.py:564-668 only
+    surgically replaces the expert Linears; HF routes sparsely on GPU).
+    """
+    e = cfg.num_local_experts
+    k = cfg.num_experts_per_tok
+    cap = -(-int(k * n_tokens * capacity_factor) // e)
+    return max(1, min(n_tokens, cap))
+
+
+def _route(bp, x, cfg, layer_name, ctx):
+    """Router: softmax over gate logits, top-k, renormalized (HF-exact)."""
     router_logits = call_linear(bp["gate"], x, f"{layer_name}.gate", ctx)
     probs = jax.nn.softmax(router_logits.astype(jnp.float32), axis=-1)
     top_p, top_idx = jax.lax.top_k(probs, cfg.num_experts_per_tok)
     top_p = top_p / jnp.sum(top_p, axis=-1, keepdims=True)  # renormalize (HF)
-    # dense per-token expert weights: (B, S, E)
-    one_hot = jax.nn.one_hot(top_idx, cfg.num_local_experts, dtype=probs.dtype)
+    return top_p, top_idx
+
+
+def _expert_mlp(ep, x2d, pre, ctx):
+    g = call_linear(ep["w1"], x2d, f"{pre}.w1", ctx)
+    u = call_linear(ep["w3"], x2d, f"{pre}.w3", ctx)
+    return call_linear(ep["w2"], jax.nn.silu(g) * u, f"{pre}.w2", ctx)
+
+
+def _moe_block_dense(bp, x, cfg, layer_name, ctx):
+    top_p, top_idx = _route(bp, x, cfg, layer_name, ctx)
+    one_hot = jax.nn.one_hot(top_idx, cfg.num_local_experts, dtype=top_p.dtype)
     weights = jnp.sum(one_hot * top_p[..., None], axis=-2)  # (B, S, E)
 
+    experts, e_local = _experts_view(bp)
     out = jnp.zeros_like(x, dtype=jnp.float32)
-    for e in range(cfg.num_local_experts):
-        ep = bp["experts"][str(e)]
-        pre = f"{layer_name}.experts.{e}"
-        g = call_linear(ep["w1"], x, f"{pre}.w1", ctx)
-        u = call_linear(ep["w3"], x, f"{pre}.w3", ctx)
-        y = call_linear(ep["w2"], jax.nn.silu(g) * u, f"{pre}.w2", ctx)
-        out = out + y.astype(jnp.float32) * weights[..., e : e + 1]
+    for e in range(e_local):
+        y = _expert_mlp(experts[e], x, f"{layer_name}.experts.{e}", ctx)
+        out = out + y.astype(jnp.float32) * weights[..., e : e + 1].astype(jnp.float32)
     return out.astype(x.dtype)
+
+
+def _moe_block_sparse(bp, x, cfg, layer_name, ctx):
+    """Capacity-bounded token-gather dispatch: each expert computes only its
+    routed tokens.  Numerically identical to the dense path whenever no
+    token exceeds capacity (overflow assignments are dropped, as in
+    standard MoE serving).  Under expert parallelism (ctx.ep_axis) each
+    device holds E/ep experts; contributions are psum-combined.
+    """
+    b, s, h = x.shape
+    n = b * s
+    topk = cfg.num_experts_per_tok
+    e_total = cfg.num_local_experts
+    xf = x.reshape(n, h)
+
+    top_p, top_idx = _route(bp, x, cfg, layer_name, ctx)
+    cf = ctx.moe_capacity_factor if ctx is not None else 2.0
+    capacity = moe_capacity(n, cfg, cf)
+
+    nk = n * topk
+    flat_e = top_idx.reshape(nk)                         # expert per assignment
+    flat_t = jnp.repeat(jnp.arange(n, dtype=jnp.int32), topk)
+    flat_w = top_p.reshape(nk).astype(jnp.float32)
+
+    # stable sort by expert → position within each expert's buffer
+    order = jnp.argsort(flat_e, stable=True)
+    se, st, sw = flat_e[order], flat_t[order], flat_w[order]
+    counts = jnp.zeros((e_total,), jnp.int32).at[flat_e].add(1)
+    starts = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                              jnp.cumsum(counts)[:-1]])
+    pos = jnp.arange(nk, dtype=jnp.int32) - starts[se]
+    keep = pos < capacity
+
+    experts, e_local = _experts_view(bp)
+    if ctx is not None and ctx.ep_axis is not None:
+        offset = jax.lax.axis_index(ctx.ep_axis) * e_local
+    else:
+        offset = 0
+        assert e_local == e_total
+    le = se - offset
+    mine = keep & (le >= 0) & (le < e_local)
+
+    # scatter routed tokens into (E_local, capacity, H); overflow and other
+    # devices' assignments land in a trash row
+    dest = jnp.where(mine, le * capacity + pos, e_local * capacity)
+    disp = jnp.zeros((e_local * capacity + 1, h), x.dtype).at[dest].set(xf[st])
+    disp = disp[:-1].reshape(e_local, capacity, h)
+
+    ys = []
+    for e in range(e_local):
+        # offset is a traced axis_index under EP — use a local tap name then
+        name_e = e if isinstance(offset, int) else f"local{e}"
+        ys.append(_expert_mlp(experts[e], disp[e],
+                              f"{layer_name}.experts.{name_e}", ctx))
+    ysf = jnp.concatenate([y[None] for y in ys], axis=0).reshape(
+        e_local * capacity, h)
+    ysf = jnp.concatenate([ysf, jnp.zeros((1, h), ysf.dtype)], axis=0)
+
+    y_a = ysf[dest].astype(jnp.float32) * sw[:, None]
+    y_a = jnp.where(mine[:, None], y_a, 0.0)
+    out = jnp.zeros((n, h), jnp.float32).at[st].add(y_a)
+    if ctx is not None and ctx.ep_axis is not None:
+        out = jax.lax.psum(out, ctx.ep_axis)
+    return out.reshape(b, s, h).astype(x.dtype)
+
+
+def _moe_block(bp: dict, x: jax.Array, cfg: MixtralConfig, layer_name: str,
+               ctx: Optional[ForwardContext]) -> jax.Array:
+    sparse = (ctx is not None
+              and (ctx.moe_dispatch == "sparse" or ctx.ep_axis is not None))
+    if sparse:
+        return _moe_block_sparse(bp, x, cfg, layer_name, ctx)
+    return _moe_block_dense(bp, x, cfg, layer_name, ctx)
 
 
 def forward(

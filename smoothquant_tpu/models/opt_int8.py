@@ -157,43 +157,82 @@ def from_float(params: dict, cfg: OPTConfig, decoder_layer_scales: list[dict],
     return out
 
 
-def _int8_attention(q8, k8, v8, scales: dict, cfg: OPTConfig, interpret: bool):
-    """int8 QK^T → fp32 softmax → ×127 int8 probs → int8 PV (opt.py:94-209)."""
-    b, s, h = q8.shape
+def _per_batch(x):
+    x = jnp.asarray(x)
+    return x.reshape(-1, 1, 1, 1) if x.ndim == 1 else x
+
+
+def _int8_attention(q8, k8, v8, scales: dict, cfg: OPTConfig, interpret: bool,
+                    causal_offset=0, valid_len=None, attn_mask=None):
+    """int8 QK^T → fp32 softmax → ×127 int8 probs → int8 PV (opt.py:94-209).
+
+    q8: (B, Sq, H) int8.  k8/v8: (B, Sk, nh, d) int8 — either the current
+    step's keys/values or a full static KV cache (the cache stores the raw
+    static-scale int8 projections, exactly what the reference's past_key_value
+    carries on the int8 path, opt.py:122-133 — so cached decode is
+    bit-identical to teacher-forced).  Masking follows models.common.attention:
+    query i sees keys j <= i + causal_offset, j < valid_len, attn_mask.
+    """
+    b, sq, h = q8.shape
     nh, d = cfg.num_attention_heads, cfg.head_dim
-    # (B, S, H) → (B*nh, S, d)
-    def split(x):
-        return x.reshape(b, s, nh, d).transpose(0, 2, 1, 3).reshape(b * nh, s, d)
+    sk = k8.shape[1]
 
-    q8, k8, v8 = split(q8), split(k8), split(v8)
+    q3 = q8.reshape(b, sq, nh, d).transpose(0, 2, 1, 3).reshape(b * nh, sq, d)
+    k3 = k8.transpose(0, 2, 1, 3).reshape(b * nh, sk, d)
+    v3 = v8.transpose(0, 2, 1, 3).reshape(b * nh, sk, d)
+
     alpha_qk = scales["q_output_scale"] * scales["k_output_scale"]
-    logits = int8_bmm(q8, k8, alpha_qk, out_dtype=jnp.float32, interpret=interpret)
+    logits = int8_bmm(q3, k3, alpha_qk, out_dtype=jnp.float32, interpret=interpret)
+    logits = logits.reshape(b, nh, sq, sk)
 
-    qi = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
-    kj = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
-    logits = jnp.where((kj <= qi)[None], logits, -1e9)
-    probs = jax.nn.softmax(logits, axis=-1)
+    qi = jax.lax.broadcasted_iota(jnp.int32, (1, 1, sq, sk), 2)
+    kj = jax.lax.broadcasted_iota(jnp.int32, (1, 1, sq, sk), 3)
+    mask = kj <= qi + _per_batch(causal_offset)
+    if valid_len is not None:
+        mask = jnp.logical_and(mask, kj < _per_batch(valid_len))
+    if attn_mask is not None:
+        mask = jnp.logical_and(mask, attn_mask[:, None, None, :].astype(bool))
+    logits = jnp.where(mask, logits, -1e9)
+    probs = jax.nn.softmax(logits, axis=-1).reshape(b * nh, sq, sk)
     probs8 = jnp.clip(jnp.round(probs * 127.0), -127, 127).astype(jnp.int8)
 
     alpha_pv = (1.0 / 127.0) * scales["v_output_scale"] / scales["out_input_scale"]
     # PV contracts over keys: probs (B*nh, Sq, Sk) @ v (B*nh, Sk, d) — use
     # v^T layout for the (.., N, K) convention of int8_bmm
-    ctx8 = int8_bmm(probs8, v8.transpose(0, 2, 1), alpha_pv,
+    ctx8 = int8_bmm(probs8, v3.transpose(0, 2, 1), alpha_pv,
                     out_dtype=jnp.int8, interpret=interpret)
-    return ctx8.reshape(b, nh, s, d).transpose(0, 2, 1, 3).reshape(b, s, h)
+    return ctx8.reshape(b, nh, sq, d).transpose(0, 2, 1, 3).reshape(b, sq, h)
 
 
 def forward(params: dict, input_ids: jax.Array, cfg: OPTConfig,
-            interpret: bool = False) -> jax.Array:
-    """Int8 decoder forward (opt.py:259-426), teacher-forced. Returns logits."""
+            ctx=None, caches=None, positions=None, attn_mask=None,
+            interpret: bool = False):
+    """Int8 decoder forward (opt.py:259-426) with KV-cached decode.
+
+    Same contract as the other model modules — (logits, caches) — so
+    serve.Generator / ContinuousBatcher drive it directly (the reference
+    gets generation for free from HF `generate`, opt.py:429-481; here the
+    serving layer is ours).  caches: list of common.KVCache holding INT8
+    k/v at the layer's static k/v output scales.
+    """
+    if ctx is not None:
+        interpret = interpret or ctx.interpret
     b, s = input_ids.shape
+    nh, d = cfg.num_attention_heads, cfg.head_dim
     x = jnp.take(params["embed_tokens"]["weight"], input_ids, axis=0).astype(jnp.float32)
     if "project_in" in params:
         x = x @ params["project_in"]["weight"].T.astype(x.dtype)
-    positions = jax.lax.broadcasted_iota(jnp.int32, (b, s), 1)
+    if positions is None:
+        if caches is not None:
+            start = jnp.asarray(caches[0].pos)
+            start = start[:, None] if start.ndim == 1 else start
+        else:
+            start = 0
+        positions = start + jax.lax.broadcasted_iota(jnp.int32, (b, s), 1)
     x = x + jnp.take(params["embed_positions"]["weight"], positions + POS_OFFSET, axis=0).astype(x.dtype)
 
-    for lp in params["int8_layers"]:
+    new_caches = [] if caches is not None else None
+    for li, lp in enumerate(params["int8_layers"]):
         sc = lp.scales
         residual = x
         x2d = x.reshape(-1, x.shape[-1])
@@ -203,7 +242,20 @@ def forward(params: dict, input_ids: jax.Array, cfg: OPTConfig,
         q8 = lp.q_proj(h8, out_dtype=jnp.int8, interpret=interpret)
         k8 = lp.k_proj(h8, out_dtype=jnp.int8, interpret=interpret)
         v8 = lp.v_proj(h8, out_dtype=jnp.int8, interpret=interpret)
-        ctx8 = _int8_attention(q8, k8, v8, sc, cfg, interpret)
+        k4 = k8.reshape(b, s, nh, d)
+        v4 = v8.reshape(b, s, nh, d)
+        if caches is not None:
+            cache = caches[li]
+            offset = cache.pos
+            cache = cache.update(k4, v4)
+            ck, cv = cache.read()
+            ctx8 = _int8_attention(q8, ck, cv, sc, cfg, interpret,
+                                   causal_offset=offset, valid_len=cache.pos,
+                                   attn_mask=attn_mask)
+            new_caches.append(cache)
+        else:
+            ctx8 = _int8_attention(q8, k4, v4, sc, cfg, interpret,
+                                   attn_mask=attn_mask)
         attn_out = lp.out_proj(ctx8, out_dtype=jnp.float32, interpret=interpret)
         x = residual + attn_out  # fp residual add (opt.py:298)
 
@@ -220,4 +272,4 @@ def forward(params: dict, input_ids: jax.Array, cfg: OPTConfig,
         x = layer_norm(params["final_layer_norm"], x, cfg.layer_norm_eps)
     if "project_out" in params:
         x = x @ params["project_out"]["weight"].T.astype(x.dtype)
-    return unembed(x, params["embed_tokens"]["weight"])
+    return unembed(x, params["embed_tokens"]["weight"]), new_caches

@@ -50,8 +50,15 @@ class QuantConfig:
     group_size: int = 128
     alpha: float = 0.5
     static_sort: bool = False
+    sort_strategy: str = "max"  # sorted-group channel ranking: max |
+    #                             mean_std (mean+3·std) | argmax (position);
+    #                             README.md:34-37 claims all three, the
+    #                             reference code implements only max
 
     def __post_init__(self):
+        if self.sort_strategy not in ("max", "mean_std", "argmax"):
+            raise ValueError(
+                "sort_strategy must be one of ('max', 'mean_std', 'argmax')")
         if self.weight_quant not in WEIGHT_QUANT_CHOICES:
             raise ValueError(f"weight_quant must be one of {WEIGHT_QUANT_CHOICES}")
         if self.act_quant not in ACT_QUANT_CHOICES:

@@ -106,34 +106,56 @@ def quantize_weight_per_group_absmax(
     return _group_qdq_2d(w, n_bits, group_size)
 
 
-def sorted_group_perm(x2d: jax.Array) -> jax.Array:
-    """Ascending permutation of columns by column-wise absmax.
+SORT_STRATEGIES = ("max", "mean_std", "argmax")
 
-    This is the dynamic sort key of the reference's sorted-group scheme
-    (fake_quant.py:113-121, 162-173): for each column (input channel), take
-    the max |value| over rows, then argsort ascending so that channels of
-    similar magnitude land in the same quantization group.
+
+def sort_key(x2d: jax.Array, strategy: str = "max") -> jax.Array:
+    """Per-column scalar ranking channels for sorted-group quantization.
+
+    The reference implements only "max" in code (fake_quant.py:113-121,
+    162-173) but its README claims three strategies (README.md:34-37):
+      max      — column-wise absmax (channels of similar magnitude group),
+      mean_std — mean(|x|) + 3·std(|x|), an outlier-robust magnitude proxy,
+      argmax   — the ROW INDEX where the column attains its absmax
+                 (position-based: channels whose outliers co-occur group).
     """
-    col_absmax = jnp.max(jnp.abs(x2d.astype(jnp.float32)), axis=0)
-    return jnp.argsort(col_absmax)
+    ax = jnp.abs(x2d.astype(jnp.float32))
+    if strategy == "max":
+        return jnp.max(ax, axis=0)
+    if strategy == "mean_std":
+        return jnp.mean(ax, axis=0) + 3.0 * jnp.std(ax, axis=0)
+    if strategy == "argmax":
+        return jnp.argmax(ax, axis=0).astype(jnp.float32)
+    raise ValueError(f"sort strategy must be one of {SORT_STRATEGIES}")
 
 
-def _sorted_group_qdq_2d(x2d: jax.Array, n_bits: int, group_size: int) -> jax.Array:
-    perm = sorted_group_perm(x2d)
+def sorted_group_perm(x2d: jax.Array, strategy: str = "max") -> jax.Array:
+    """Ascending permutation of columns by the chosen sort key.
+
+    With "max" this is exactly the reference's dynamic sort
+    (fake_quant.py:113-121, 162-173).
+    """
+    return jnp.argsort(sort_key(x2d, strategy))
+
+
+def _sorted_group_qdq_2d(x2d: jax.Array, n_bits: int, group_size: int,
+                         strategy: str = "max") -> jax.Array:
+    perm = sorted_group_perm(x2d, strategy)
     inv_perm = jnp.argsort(perm)
     out_sorted = _group_qdq_2d(x2d[:, perm], n_bits, group_size)
     return out_sorted[:, inv_perm]
 
 
 def quantize_weight_per_group_absmax_sort(
-    w: jax.Array, n_bits: int, group_size: int = 128
+    w: jax.Array, n_bits: int, group_size: int = 128,
+    sort_strategy: str = "max",
 ) -> jax.Array:
     """Sorted group quantization for weights (fake_quant.py:156-207).
 
-    Columns are ranked by absmax over output rows; grouping happens in sorted
-    order; output is returned in the original column order.
+    Columns are ranked by the sort key; grouping happens in sorted order;
+    output is returned in the original column order.
     """
-    return _sorted_group_qdq_2d(w, n_bits, group_size)
+    return _sorted_group_qdq_2d(w, n_bits, group_size, sort_strategy)
 
 
 # ---------------------------------------------------------------------------
@@ -169,18 +191,19 @@ def quantize_activation_per_group_absmax(
 
 
 def quantize_activation_per_group_absmax_sort(
-    t: jax.Array, n_bits: int, group_size: int = 128
+    t: jax.Array, n_bits: int, group_size: int = 128,
+    sort_strategy: str = "max",
 ) -> jax.Array:
     """Sorted per-group activation quantization — fake_quant.py:104-154.
 
     The permutation is computed dynamically per call from the activation
-    itself (column absmax over the flattened batch), exactly as the reference
+    itself (sort key over the flattened batch), exactly as the reference
     does.  For the real TPU execution path, prefer a static calibration-time
     permutation (see kernels/ and quant/saliency.py) — this function is the
     numerical oracle.
     """
     t2d, shape = _flatten_last(t)
-    return _sorted_group_qdq_2d(t2d, n_bits, group_size).reshape(shape)
+    return _sorted_group_qdq_2d(t2d, n_bits, group_size, sort_strategy).reshape(shape)
 
 
 # ---------------------------------------------------------------------------
@@ -222,21 +245,29 @@ ACT_QUANTIZERS = {
 }
 
 
-def get_act_quantizer(name: str, n_bits: int, group_size: int = 128):
+def get_act_quantizer(name: str, n_bits: int, group_size: int = 128,
+                      sort_strategy: str = "max"):
     """Build an activation quantizer closure by name.
 
     Mirrors the act_quant selection in W4A4Linear.__init__
     (fake_quant.py:246-256): "per_group" maps to the *sorted* variant.
     """
     fn = ACT_QUANTIZERS[name]
-    if name in ("per_group", "per_group_unsorted"):
+    if name == "per_group":
+        return functools.partial(fn, n_bits=n_bits, group_size=group_size,
+                                 sort_strategy=sort_strategy)
+    if name == "per_group_unsorted":
         return functools.partial(fn, n_bits=n_bits, group_size=group_size)
     return functools.partial(fn, n_bits=n_bits)
 
 
-def get_weight_quantizer(name: str, n_bits: int, group_size: int = 128):
+def get_weight_quantizer(name: str, n_bits: int, group_size: int = 128,
+                         sort_strategy: str = "max"):
     """Build a weight quantizer closure by name (fake_quant.py:348-361)."""
     fn = WEIGHT_QUANTIZERS[name]
-    if name in ("per_group", "per_group_unsorted"):
+    if name == "per_group":
+        return functools.partial(fn, n_bits=n_bits, group_size=group_size,
+                                 sort_strategy=sort_strategy)
+    if name == "per_group_unsorted":
         return functools.partial(fn, n_bits=n_bits, group_size=group_size)
     return functools.partial(fn, n_bits=n_bits)

@@ -62,7 +62,8 @@ def quantize_linear_params(
     out_features, in_features = w.shape
     k = cfg.num_salient(in_features) if importance is not None else 0
 
-    wq_fn = core.get_weight_quantizer(cfg.weight_quant, cfg.quant_bits, cfg.group_size)
+    wq_fn = core.get_weight_quantizer(cfg.weight_quant, cfg.quant_bits,
+                                      cfg.group_size, cfg.sort_strategy)
     w_q = wq_fn(w)
 
     new = {"weight": w_q, "bias": params.get("bias")}
@@ -87,7 +88,8 @@ def _act_qdq(x2d: jax.Array, params: LinearParams, cfg: QuantConfig) -> jax.Arra
     `x[:, non_salient_mask]` compaction (fake_quant.py:291-301) — and
     scattered back; salient columns pass through untouched.
     """
-    aq_fn = core.get_act_quantizer(cfg.act_quant, cfg.effective_act_bits, cfg.group_size)
+    aq_fn = core.get_act_quantizer(cfg.act_quant, cfg.effective_act_bits,
+                                   cfg.group_size, cfg.sort_strategy)
     if "sal_perm" not in params:
         return aq_fn(x2d)
     c = x2d.shape[-1]
@@ -117,6 +119,7 @@ def quant_linear(
     if params.get("bias") is not None:
         y = y + params["bias"].astype(y.dtype)
     if quantize_output:
-        aq_fn = core.get_act_quantizer(cfg.act_quant, cfg.effective_act_bits, cfg.group_size)
+        aq_fn = core.get_act_quantizer(cfg.act_quant, cfg.effective_act_bits,
+                                       cfg.group_size, cfg.sort_strategy)
         y = aq_fn(y)
     return y.reshape(*shape[:-1], y.shape[-1])

@@ -183,3 +183,60 @@ class TestW4A8:
                                              interpret=True))
             errs[name] = np.abs(y - ref).mean()
         assert errs["w4a8"] < errs["w4a4"]
+
+
+class TestSortStrategies:
+    """README.md:34-37 claims three channel-sorting strategies; the
+    reference code implements only 'max'.  All three are selectable here;
+    each must (a) be a pure regrouping — the quantized output equals
+    manually permute→group-QDQ→inverse-permute — and (b) rank by its
+    documented key."""
+
+    @pytest.mark.parametrize("strategy", ["max", "mean_std", "argmax"])
+    def test_sorted_quantizer_matches_manual_oracle(self, strategy):
+        rng = np.random.default_rng(11)
+        w = (rng.normal(size=(24, 90)) * rng.uniform(0.5, 3.0)).astype(np.float32)
+        got = np.asarray(core.quantize_weight_per_group_absmax_sort(
+            jnp.asarray(w), 4, group_size=32, sort_strategy=strategy))
+
+        key = np.asarray(core.sort_key(jnp.asarray(w), strategy))
+        perm = np.argsort(key, kind="stable")
+        inv = np.argsort(perm)
+        manual = np.asarray(core.quantize_weight_per_group_absmax(
+            jnp.asarray(w[:, perm]), 4, group_size=32))[:, inv]
+        np.testing.assert_allclose(got, manual, atol=1e-6)
+
+    def test_sort_keys_semantics(self):
+        x = np.zeros((4, 3), np.float32)
+        x[0, 0] = 5.0   # col 0: max 5 at row 0
+        x[3, 1] = 2.0   # col 1: max 2 at row 3
+        x[1, 2] = 3.0   # col 2: max 3 at row 1
+        k_max = np.asarray(core.sort_key(jnp.asarray(x), "max"))
+        np.testing.assert_allclose(k_max, [5.0, 2.0, 3.0])
+        k_pos = np.asarray(core.sort_key(jnp.asarray(x), "argmax"))
+        np.testing.assert_allclose(k_pos, [0.0, 3.0, 1.0])
+        k_ms = np.asarray(core.sort_key(jnp.asarray(x), "mean_std"))
+        ax = np.abs(x)
+        np.testing.assert_allclose(k_ms, ax.mean(0) + 3 * ax.std(0), rtol=1e-6)
+
+    def test_config_strategy_flows_into_linear(self):
+        from smoothquant_tpu.quant.config import QuantConfig
+        from smoothquant_tpu.quant.linear import quant_linear, quantize_linear_params
+
+        rng = np.random.default_rng(12)
+        w = rng.normal(size=(32, 64)).astype(np.float32)
+        x = rng.normal(size=(4, 64)).astype(np.float32)
+        outs = {}
+        for strat in ("max", "argmax"):
+            cfg = QuantConfig(weight_quant="per_group", act_quant="per_group",
+                              quant_bits=4, group_size=16, sort_strategy=strat)
+            qp = quantize_linear_params({"weight": jnp.asarray(w), "bias": None}, cfg)
+            outs[strat] = np.asarray(quant_linear(qp, jnp.asarray(x), cfg))
+        # different grouping → different numerics (sanity that the knob acts)
+        assert not np.allclose(outs["max"], outs["argmax"])
+
+    def test_invalid_strategy_rejected(self):
+        from smoothquant_tpu.quant.config import QuantConfig
+
+        with pytest.raises(ValueError):
+            QuantConfig(sort_strategy="bogus")
