@@ -1,0 +1,291 @@
+"""Per-kernel microbenchmarks on the real chip — the measurement behind
+kernel tuning decisions (decode/prefill crossover, tile sizes, nibble vs
+int8 storage, attention path).
+
+Usage:  python scripts/kernelbench.py [experiment ...]
+Experiments: decode_bf16 decode_int8 decode_int4 decode_attn prefill int4_native
+Prints one JSON line per (experiment, shape, variant) with ms + effective
+weight GB/s.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def _log(m):
+    import time
+    print(f"# [{time.strftime('%H:%M:%S')}] {m}", file=sys.stderr, flush=True)
+
+
+DECODE_N = 4
+# per-linear shapes of the llama2-7B layer (K, O)
+SHAPES = [(4096, 4096), (4096, 11008), (11008, 4096)]
+PREFILL_N = 1024
+
+
+def emit(exp, shape, variant, t_s, weight_bytes):
+    print(json.dumps({
+        "exp": exp, "shape": list(shape), "variant": variant,
+        "ms": round(t_s * 1e3, 4),
+        "weight_gbps": round(weight_bytes / t_s / 1e9, 1),
+    }), flush=True)
+
+
+def make_packed(k, o, qcfg, nibble, rng):
+    import jax.numpy as jnp
+    from smoothquant_tpu.kernels.pack import pack_linear
+    w = (rng.standard_normal((o, k)) * 0.02).astype(np.float32)
+    imp = rng.uniform(0.1, 1.0, size=(k,))
+    return pack_linear({"weight": jnp.asarray(w, jnp.bfloat16), "bias": None},
+                       qcfg, importance=imp, nibble=nibble)
+
+
+def bench_linear(packed, n, compute, **kw):
+    import jax
+    import jax.numpy as jnp
+    from smoothquant_tpu.kernels.real_linear import real_quant_linear
+    from smoothquant_tpu.utils.benchtools import time_steps
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((n, packed.meta.in_features)),
+                    jnp.bfloat16)
+
+    def step(x_):
+        return real_quant_linear(packed, x_, compute=compute, **kw)
+
+    iters = 256 if n <= 8 else 32
+    return time_steps(jax.jit(step), (x,), iters=iters, repeats=5)
+
+
+def main(which):
+    import jax
+    import jax.numpy as jnp
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from smoothquant_tpu.quant import w4a4_group
+    from smoothquant_tpu.utils.benchtools import time_steps
+
+    rng = np.random.default_rng(0)
+    qcfg = w4a4_group(group_size=64, salient_prop=0.05)
+
+    if "decode_bf16" in which:
+        for k, o in SHAPES:
+            w = jnp.asarray(rng.standard_normal((k, o)) * 0.02, jnp.bfloat16)
+            x = jnp.asarray(rng.standard_normal((DECODE_N, k)), jnp.bfloat16)
+            t = time_steps(jax.jit(
+                lambda x_, w_=w: jnp.dot(x_, w_,
+                                         preferred_element_type=jnp.float32)
+                .astype(jnp.bfloat16)), (x,), iters=256, repeats=5)
+            emit("decode_bf16", (k, o), "xla_dot", t, k * o * 2)
+
+    if "decode_int8" in which:
+        for k, o in SHAPES:
+            _log(f"decode_int8 {k}x{o}")
+            p = make_packed(k, o, qcfg, False, rng)
+            wb = p.w_qt.nbytes + p.w_scales_t.nbytes + p.w_sal_t.nbytes
+            t = bench_linear(p, DECODE_N, "int")
+            emit("decode_int8", (k, o), "int_group", t, wb)
+
+    if "decode_int4" in which:
+        for k, o in SHAPES:
+            _log(f"decode_int4 {k}x{o}")
+            p = make_packed(k, o, qcfg, True, rng)
+            wb = p.w_qt.nbytes + p.w_scales_t.nbytes + p.w_sal_t.nbytes
+            t = bench_linear(p, DECODE_N, "int")
+            emit("decode_int4", (k, o), "nibble", t, wb)
+
+    if "decode_int4_nosal" in which:
+        qns = w4a4_group(group_size=64, salient_prop=0.0)
+        for k, o in SHAPES:
+            _log(f"decode_int4_nosal {k}x{o}")
+            import jax.numpy as jnp2
+            from smoothquant_tpu.kernels.pack import pack_linear
+            w = (rng.standard_normal((o, k)) * 0.02).astype(np.float32)
+            p = pack_linear({"weight": jnp.asarray(w, jnp.bfloat16),
+                             "bias": None}, qns, importance=None, nibble=True)
+            wb = p.w_qt.nbytes + p.w_scales_t.nbytes
+            t = bench_linear(p, DECODE_N, "int")
+            emit("decode_int4_nosal", (k, o), "nibble", t, wb)
+
+    if "decode_attn" in which:
+        from smoothquant_tpu.models.common import (
+            ForwardContext, KVCache, QuantKVCache, cached_attention)
+        b, h, s, d = 4, 32, 2048, 128
+        for cache_cls, store in ((KVCache, "bf16"), (QuantKVCache, "int8")):
+            cache = cache_cls.create(b, s, h, d, jnp.bfloat16)
+            kv_new = jnp.asarray(rng.standard_normal((b, s - 1, h, d)),
+                                 jnp.bfloat16)
+            cache = cache.update(kv_new, kv_new)
+            q = jnp.asarray(rng.standard_normal((b, 1, h, d)), jnp.bfloat16)
+            kv_bytes = (cache.k.nbytes + cache.v.nbytes if store == "bf16"
+                        else cache.k_q.nbytes + cache.v_q.nbytes)
+            for mode in ("einsum", "kernel"):
+                ctx = ForwardContext(attn=mode)
+
+                def step(q_, cache_=cache, ctx_=ctx):
+                    return cached_attention(q_, cache_,
+                                            causal_offset=cache_.pos - 1,
+                                            ctx=ctx_)
+
+                t = time_steps(jax.jit(step), (q,), iters=128, repeats=5)
+                emit("decode_attn", (b, s), f"{store}_{mode}", t, kv_bytes)
+
+    if "prefill" in which:
+        n = PREFILL_N
+        for k, o in SHAPES:
+            w = jnp.asarray(rng.standard_normal((k, o)) * 0.02, jnp.bfloat16)
+            x = jnp.asarray(rng.standard_normal((n, k)), jnp.bfloat16)
+            t = time_steps(jax.jit(
+                lambda x_, w_=w: jnp.dot(x_, w_,
+                                         preferred_element_type=jnp.float32)
+                .astype(jnp.bfloat16)), (x,), iters=16)
+            emit("prefill_bf16", (k, o), "xla_dot", t, k * o * 2)
+
+            _log(f"prefill dequant {k}x{o}")
+            p = make_packed(k, o, qcfg, False, rng)
+            wb = p.w_qt.nbytes + p.w_scales_t.nbytes + p.w_sal_t.nbytes
+            t = bench_linear(p, n, "dequant")
+            emit("prefill_dequant", (k, o), "dual_path", t, wb)
+            _log(f"prefill int {k}x{o}")
+            t = bench_linear(p, n, "int")
+            emit("prefill_int", (k, o), "int_group", t, wb)
+
+            # W8A8: per-token act int8 x per-col int8 weight via XLA int8 dot
+            w8 = jnp.asarray(
+                rng.integers(-127, 128, size=(k, o)), jnp.int8)
+            x8 = jnp.asarray(rng.integers(-127, 128, size=(n, k)), jnp.int8)
+            sw = jnp.asarray(rng.uniform(0.001, 0.01, size=(o,)), jnp.float32)
+
+            def w8a8(x_, w_=w8, sw_=sw):
+                acc = jax.lax.dot_general(
+                    x_, w_, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                return (acc.astype(jnp.float32) * sw_[None, :]).astype(jnp.bfloat16)
+
+            t = time_steps(jax.jit(w8a8), (x8,), iters=16)
+            emit("prefill_w8a8", (k, o), "xla_int8_dot", t, k * o)
+
+    if "layer_decode" in which:
+        # full packed decoder-layer decode cost via depth differencing:
+        # (t(8L) - t(4L)) / 4 cancels embed/unembed/dispatch constants.
+        import dataclasses
+
+        from smoothquant_tpu.models import llama
+        from smoothquant_tpu.models.common import ForwardContext
+        from smoothquant_tpu.kernels.pack import pack_linear
+
+        batch, cache_len = 4, 512
+
+        def build(depth, attn_mode):
+            cfg = dataclasses.replace(
+                llama.LlamaConfig.llama2_7b(), num_hidden_layers=depth,
+                vocab_size=2048, tie_word_embeddings=True)
+            key = jax.random.PRNGKey(0)
+            layers = {}
+            for i in range(depth):
+                lp = llama.init_layer_params(jax.random.fold_in(key, i), cfg)
+                for grp, names in (("self_attn", llama.ATTN_PROJS),
+                                   ("mlp", llama.MLP_PROJS)):
+                    for nm in names:
+                        lin = lp[grp][nm]
+                        imp = rng.uniform(0.1, 1.0, size=(lin["weight"].shape[1],))
+                        lp[grp][nm] = pack_linear(lin, qcfg, importance=imp,
+                                                  nibble=True)
+                layers[str(i)] = lp
+            h = cfg.hidden_size
+            params = {
+                "embed_tokens": {"weight": jax.random.normal(
+                    jax.random.fold_in(key, 999), (cfg.vocab_size, h),
+                    jnp.bfloat16) * 0.02},
+                "layers": layers,
+                "norm": {"weight": jnp.ones((h,), jnp.bfloat16)},
+            }
+            params = llama.stack_layers(params, cfg)
+            caches = llama.stacked_caches(cfg, batch, cache_len, jnp.bfloat16,
+                                          pos=cache_len - 64)
+            ctx = ForwardContext(quant=qcfg, compute="int", attn=attn_mode)
+
+            def step(t, p=params, c=caches):
+                logits, _ = llama.forward(p, t, cfg, ctx=ctx, caches=c)
+                return logits[:, -1]
+
+            tok = jnp.asarray(rng.integers(0, cfg.vocab_size,
+                                           size=(batch, 1)))
+            return step, tok
+
+        for attn_mode in ("einsum", "kernel"):
+            ts = {}
+            for depth in (4, 8):
+                _log(f"layer_decode depth {depth} attn={attn_mode}")
+                step, tok = build(depth, attn_mode)
+                ts[depth] = time_steps(jax.jit(step), (tok,), iters=64,
+                                       repeats=5)
+                emit("layer_decode", (depth, cache_len),
+                     f"stacked_{attn_mode}", ts[depth], 0)
+            per_layer = (ts[8] - ts[4]) / 4
+            # per-layer packed bytes: int4 body + scales + salient + KV read
+            lw = (4 * 4096 * 4096 + 3 * 4096 * 11008) // 2
+            emit("layer_decode", (1, cache_len), f"per_layer_{attn_mode}",
+                 per_layer, lw)
+
+    if "int4_tiles" in which:
+        from smoothquant_tpu.kernels.int4_group_matmul import int4_group_matmul
+        from smoothquant_tpu.kernels.pack import (
+            quantize_activations_packed_int)
+
+        for k, o in ((4096, 11008), (4096, 4096)):
+            p = make_packed(k, o, qcfg, True, rng)
+            x = jnp.asarray(rng.standard_normal((DECODE_N, k)), jnp.bfloat16)
+            x_perm = jnp.take(x, p.perm, axis=-1)
+            x_q, x_s, x_sal = quantize_activations_packed_int(x_perm, p.meta)
+            wb = p.w_qt.nbytes + p.w_scales_t.nbytes + p.w_sal_t.nbytes
+            for tile_o in (512, 1024, 2048):
+                for tile_g in (8, 16):
+                    def stepk(x_q_, tile_o=tile_o, tile_g=tile_g):
+                        return int4_group_matmul(
+                            x_q_, x_s, p.w_qt, p.w_scales_t,
+                            x_sal.astype(jnp.bfloat16),
+                            p.w_sal_t.astype(jnp.bfloat16),
+                            group_size=p.meta.group_size,
+                            out_dtype=jnp.bfloat16,
+                            tile_o=tile_o, tile_g=tile_g)
+
+                    try:
+                        t = time_steps(jax.jit(stepk), (x_q,), iters=256,
+                                       repeats=5)
+                        emit("int4_tiles", (k, o), f"o{tile_o}_g{tile_g}", t, wb)
+                    except Exception as e:  # noqa: BLE001
+                        print(json.dumps({"exp": "int4_tiles",
+                                          "variant": f"o{tile_o}_g{tile_g}",
+                                          "error": str(e)[:120]}), flush=True)
+
+    if "int4_native" in which:
+        # does XLA lower an int4 dot natively on this chip?
+        try:
+            k, o = 4096, 4096
+            w4 = jnp.asarray(rng.integers(-7, 8, size=(k, o)), jnp.int4)
+            x8 = jnp.asarray(rng.integers(-127, 128, size=(PREFILL_N, k)), jnp.int8)
+
+            def i4dot(x_, w_=w4):
+                return jax.lax.dot_general(
+                    x_.astype(jnp.int8), w_.astype(jnp.int8),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+
+            t = time_steps(jax.jit(i4dot), (x8,), iters=16)
+            emit("int4_native", (k, o), "xla_int4_dot", t, k * o // 2)
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"exp": "int4_native", "error": str(e)[:200]}),
+                  flush=True)
+
+
+if __name__ == "__main__":
+    args = sys.argv[1:] or ["decode_bf16", "decode_int8", "decode_int4",
+                            "decode_attn"]
+    main(args)

@@ -1,0 +1,196 @@
+"""Fused decode attention — single-query flash attention over the KV cache.
+
+Replaces the full-cache XLA einsum path (which materializes (B, H, 1, S)
+scores and, for the INT8 cache, a dequantized bf16 copy of the whole cache)
+with one Pallas kernel that streams K/V tiles HBM→VMEM once, dequantizes
+int8 tiles in-register, and keeps the flash running max/denominator in VMEM
+scratch.  The TPU-native equivalent of the reference's int8 attention BMMs
+(BMM_S8T_S8N_F32T / BMM_S8T_S8N_S8T, /root/reference/smoothquant/opt.py:44-45,79-84)
+— there the probs are requantized to int8; here K/V are int8 with
+per-(head, position) scales applied to the score/prob columns, so the
+numerics match the einsum-over-dequantized-cache path to f32 rounding.
+
+Layout contract: K/V arrive (B, H_kv, S, D) — the cache's native layout —
+with D on lanes and S on sublanes, so every tile read is contiguous.
+GQA queries sharing a KV head ride the sublane axis: q is reshaped
+(B, H_kv, rep, D) and rep-padded to 8.  Validity masking (cache fill level
+and continuous-batching key holes) arrives pre-folded into an additive
+(B, S) f32 bias of 0 / -inf rows.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _flash_tile(q, k_tile, v_tile, bias_row, ks_row, vs_row, sm_scale,
+                m_ref, l_ref, acc_ref, is_first, is_last, o_ref):
+    """One S-tile of streaming softmax.  q: (R, D); k/v tile: (TS, D);
+    bias_row/ks_row/vs_row: (1, TS)."""
+    scores = jax.lax.dot_general(
+        q, k_tile,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * sm_scale                                             # (R, TS)
+    if ks_row is not None:
+        scores = scores * ks_row.astype(jnp.float32)
+    scores = scores + bias_row.astype(jnp.float32)
+
+    m_prev = m_ref[:, :1]                                    # (R, 1)
+    m_cur = jnp.max(scores, axis=1, keepdims=True)
+    m_new = jnp.where(is_first, m_cur, jnp.maximum(m_prev, m_cur))
+    # guard fully-masked tiles: exp(-inf - -inf) would be NaN
+    m_safe = jnp.maximum(m_new, NEG_INF / 2)
+    # scratch is uninitialized on the first tile — select, never scale it
+    alpha = jnp.where(is_first, 0.0, jnp.exp(m_prev - m_safe))
+
+    p = jnp.exp(scores - m_safe)                             # (R, TS)
+    p_sum = jnp.sum(p, axis=1, keepdims=True)
+    l_new = jnp.where(is_first, p_sum, l_ref[:, :1] * alpha + p_sum)
+    if vs_row is not None:
+        p = p * vs_row.astype(jnp.float32)
+    pv = jax.lax.dot_general(
+        p.astype(v_tile.dtype), v_tile,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                        # (R, D)
+
+    acc_new = jnp.where(is_first, pv, acc_ref[:] * alpha + pv)
+    m_ref[:, :1] = m_new
+    l_ref[:, :1] = l_new
+    acc_ref[:] = acc_new
+
+    @pl.when(is_last)
+    def _():
+        denom = jnp.where(l_new > 0.0, l_new, 1.0)
+        o_ref[0, 0] = (acc_new / denom).astype(o_ref.dtype)
+
+
+def _kernel_fp(q_ref, k_ref, v_ref, bias_ref, o_ref, m_ref, l_ref, acc_ref,
+               *, sm_scale: float):
+    st = pl.program_id(2)
+    n_st = pl.num_programs(2)
+    _flash_tile(
+        q_ref[0, 0], k_ref[0, 0], v_ref[0, 0], bias_ref[0, 0], None, None,
+        sm_scale, m_ref, l_ref, acc_ref, st == 0, st == n_st - 1, o_ref,
+    )
+
+
+def _kernel_int8(q_ref, k_ref, v_ref, bias_ref, ks_ref, vs_ref, o_ref,
+                 m_ref, l_ref, acc_ref, *, sm_scale: float):
+    st = pl.program_id(2)
+    n_st = pl.num_programs(2)
+    _flash_tile(
+        q_ref[0, 0], k_ref[0, 0].astype(jnp.bfloat16),
+        v_ref[0, 0].astype(jnp.bfloat16),
+        bias_ref[0, 0], ks_ref[0, 0, 0], vs_ref[0, 0, 0],
+        sm_scale, m_ref, l_ref, acc_ref, st == 0, st == n_st - 1, o_ref,
+    )
+
+
+def _pick_tile_s(s: int) -> Optional[int]:
+    for ts in (512, 256, 128):
+        if s % ts == 0:
+            return ts
+    return None
+
+
+def supported(s: int, n_heads: int, n_kv: int, head_dim: int) -> bool:
+    return (_pick_tile_s(s) is not None and n_heads % n_kv == 0
+            and head_dim % 128 == 0)
+
+
+@functools.partial(jax.jit, static_argnames=("sm_scale", "interpret"))
+def decode_attention(
+    q: jax.Array,                      # (B, H, D)
+    k: jax.Array,                      # (B, H_kv, S, D) bf16/f32 or int8
+    v: jax.Array,                      # (B, H_kv, S, D)
+    bias: jax.Array,                   # (B, S) f32 additive mask (0 / -inf)
+    k_scale: Optional[jax.Array] = None,   # (B, H_kv, S) f32 when k is int8
+    v_scale: Optional[jax.Array] = None,
+    *,
+    sm_scale: Optional[float] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Returns (B, H, D) attention output in q.dtype."""
+    b, h, d = q.shape
+    _, n_kv, s, _ = k.shape
+    rep = h // n_kv
+    assert rep * n_kv == h and k.shape == v.shape == (b, n_kv, s, d)
+    ts = _pick_tile_s(s)
+    assert ts is not None, f"cache length {s} not tileable"
+    if sm_scale is None:
+        sm_scale = 1.0 / (d ** 0.5)
+
+    rp = _ceil_to(rep, 8)
+    q4 = q.reshape(b, n_kv, rep, d)
+    if rp != rep:
+        q4 = jnp.pad(q4, ((0, 0), (0, 0), (0, rp - rep), (0, 0)))
+
+    grid = (b, n_kv, s // ts)
+
+    q_spec = pl.BlockSpec((1, 1, rp, d), lambda bb, hh, st: (bb, hh, 0, 0),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, 1, ts, d), lambda bb, hh, st: (bb, hh, st, 0),
+                           memory_space=pltpu.VMEM)
+    # row vectors need an explicit size-1 sublane axis: a (1, TS) block over
+    # a (B, S) array is illegal (sublane 1 is neither 8-divisible nor the
+    # full axis), but over (B, S/TS, 1, TS) the block EQUALS the trailing
+    # dims, which Mosaic accepts
+    bias4 = bias.reshape(b, s // ts, 1, ts)
+    bias_spec = pl.BlockSpec((1, 1, 1, ts), lambda bb, hh, st: (bb, st, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, 1, rp, d), lambda bb, hh, st: (bb, hh, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    quant = k_scale is not None
+    if quant:
+        ks5 = k_scale.reshape(b, n_kv, s // ts, 1, ts)
+        vs5 = v_scale.reshape(b, n_kv, s // ts, 1, ts)
+        sc_spec = pl.BlockSpec(
+            (1, 1, 1, 1, ts), lambda bb, hh, st: (bb, hh, st, 0, 0),
+            memory_space=pltpu.VMEM)
+        kernel = functools.partial(_kernel_int8, sm_scale=sm_scale)
+        in_specs = [q_spec, kv_spec, kv_spec, bias_spec, sc_spec, sc_spec]
+        operands = (q4, k, v, bias4, ks5, vs5)
+    else:
+        kernel = functools.partial(_kernel_fp, sm_scale=sm_scale)
+        in_specs = [q_spec, kv_spec, kv_spec, bias_spec]
+        operands = (q4, k, v, bias4)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
+        scratch_shapes=[
+            pltpu.VMEM((rp, 128), jnp.float32),   # running max
+            pltpu.VMEM((rp, 128), jnp.float32),   # running denom
+            pltpu.VMEM((rp, d), jnp.float32),     # running numerator
+        ],
+        out_shape=jax.ShapeDtypeStruct((b, n_kv, rp, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * s * d,
+            bytes_accessed=(2 * b * n_kv * s * d * k.dtype.itemsize
+                            + b * h * d * 2 * 2),
+            transcendentals=b * h * s,
+        ),
+        interpret=interpret,
+    )(*operands)
+
+    return out[:, :, :rep].reshape(b, h, d)

@@ -24,6 +24,7 @@ from smoothquant_tpu.models.common import (
     NEG_INF,
     call_linear,
     layer_norm,
+    to_head_major,
     unembed,
 )
 from smoothquant_tpu.quant.config import QuantConfig
@@ -96,10 +97,12 @@ def init_params(key: jax.Array, cfg: BloomConfig) -> dict:
 
 
 def _alibi_attention(q, k, v, slopes, causal_offset, valid_len, attn_mask):
-    """Attention with ALiBi bias: score += slope_h * (j - i_abs)."""
+    """Attention with ALiBi bias: score += slope_h * (j - i_abs).
+
+    k/v arrive head-major (B, H, Sk, D) — the KV cache's native layout."""
     b, sq, nh, d = q.shape
-    sk = k.shape[1]
-    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+    sk = k.shape[2]
+    scores = jnp.einsum("bqhd,bhkd->bhqk", q, k,
                         preferred_element_type=jnp.float32) * (d ** -0.5)
     qi = jax.lax.broadcasted_iota(jnp.int32, (1, 1, sq, sk), 2)
     kj = jax.lax.broadcasted_iota(jnp.int32, (1, 1, sq, sk), 3)
@@ -121,7 +124,7 @@ def _alibi_attention(q, k, v, slopes, causal_offset, valid_len, attn_mask):
         mask = jnp.logical_and(mask, attn_mask[:, None, None, :].astype(bool))
     scores = jnp.where(mask, scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
-    return jnp.einsum("bhqk,bkhd->bqhd", probs, v).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bqhd", probs, v).astype(q.dtype)
 
 
 def forward(
@@ -159,7 +162,8 @@ def forward(
             a = _alibi_attention(q, ck, cv, slopes, offset,
                                  cache.pos, attn_mask)
         else:
-            a = _alibi_attention(q, k, v, slopes, 0, None, attn_mask)
+            a = _alibi_attention(q, to_head_major(k), to_head_major(v),
+                                 slopes, 0, None, attn_mask)
         a = a.reshape(b, s, nh * d)
         x = residual + call_linear(sa["dense"], a,
                                    f"{name}.self_attention.dense", ctx)

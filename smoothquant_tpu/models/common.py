@@ -61,6 +61,11 @@ class ForwardContext:
     #                                over this mesh axis; each device runs
     #                                its local experts and the combined MoE
     #                                output is psum'd
+    attn: str = "auto"  # cached-decode attention path: "kernel" = fused
+    #                     Pallas flash-decode kernel, "einsum" = XLA
+    #                     full-cache einsum, "auto" = kernel when the shape
+    #                     supports it and the backend compiles Pallas
+    #                     (TPU, or anywhere with interpret=True)
 
 
 def call_linear(
@@ -163,7 +168,12 @@ def apply_rotary(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
 
 
 class KVCache(NamedTuple):
-    """Static-shape decode cache: k/v (B, max_len, n_kv_heads, head_dim).
+    """Static-shape decode cache: k/v (B, n_kv_heads, max_len, head_dim).
+
+    The (B, H, S, D) layout keeps S×D contiguous per head — the tiling the
+    fused decode-attention kernel streams — and is what XLA prefers for the
+    score einsum anyway.  update() accepts the model's natural projection
+    layout (B, Sq, H, D) and transposes the (tiny) new slice internally.
 
     pos is either a scalar (all rows aligned — the simple generate path) or
     per-slot (B,) for continuous batching, where each slot's sequence has its
@@ -177,46 +187,50 @@ class KVCache(NamedTuple):
     @classmethod
     def create(cls, batch: int, max_len: int, n_kv_heads: int, head_dim: int,
                dtype, per_slot: bool = False):
-        shape = (batch, max_len, n_kv_heads, head_dim)
+        shape = (batch, n_kv_heads, max_len, head_dim)
         pos = jnp.zeros((batch,) if per_slot else (), jnp.int32)
         return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype), pos=pos)
 
     def update(self, k_new: jax.Array, v_new: jax.Array) -> "KVCache":
-        """Append k/v for the current step(s) at self.pos."""
+        """Append k/v (B, Sq, H, D) for the current step(s) at self.pos."""
+        k_new = k_new.transpose(0, 2, 1, 3).astype(self.k.dtype)
+        v_new = v_new.transpose(0, 2, 1, 3).astype(self.v.dtype)
         if self.pos.ndim == 0:
-            k = jax.lax.dynamic_update_slice(self.k, k_new, (0, self.pos, 0, 0))
-            v = jax.lax.dynamic_update_slice(self.v, v_new, (0, self.pos, 0, 0))
+            k = jax.lax.dynamic_update_slice(self.k, k_new, (0, 0, self.pos, 0))
+            v = jax.lax.dynamic_update_slice(self.v, v_new, (0, 0, self.pos, 0))
         else:
             upd = jax.vmap(
-                lambda buf, new, p: jax.lax.dynamic_update_slice(buf, new, (p, 0, 0))
+                lambda buf, new, p: jax.lax.dynamic_update_slice(buf, new, (0, p, 0))
             )
             k = upd(self.k, k_new, self.pos)
             v = upd(self.v, v_new, self.pos)
-        return KVCache(k=k, v=v, pos=self.pos + k_new.shape[1])
+        return KVCache(k=k, v=v, pos=self.pos + k_new.shape[2])
 
     def read(self) -> tuple[jax.Array, jax.Array]:
+        """(B, H, S, D) key/value views for attention."""
         return self.k, self.v
 
 
 class QuantKVCache(NamedTuple):
-    """INT8 KV cache: values stored int8 with per-(slot, position, head)
+    """INT8 KV cache: values stored int8 with per-(slot, head, position)
     symmetric absmax scales — half the HBM footprint and read bandwidth of a
-    bf16 cache.  Dequantization on read is elementwise VPU work XLA fuses
-    into the attention matmuls.  (North-star capability; the reference keeps
-    stock HF fp caches, SURVEY.md §5 long-context row.)
+    bf16 cache.  Same (B, H, S, D) layout as KVCache; the fused decode kernel
+    applies the scales to score/prob columns so the int8 bytes are the only
+    cache traffic.  (North-star capability; the reference keeps stock HF fp
+    caches, SURVEY.md §5 long-context row.)
     """
 
-    k_q: jax.Array       # (B, max_len, H, D) int8
-    v_q: jax.Array       # (B, max_len, H, D) int8
-    k_scale: jax.Array   # (B, max_len, H) f32
-    v_scale: jax.Array   # (B, max_len, H) f32
+    k_q: jax.Array       # (B, H, max_len, D) int8
+    v_q: jax.Array       # (B, H, max_len, D) int8
+    k_scale: jax.Array   # (B, H, max_len) f32
+    v_scale: jax.Array   # (B, H, max_len) f32
     pos: jax.Array       # () or (B,) int32
 
     @classmethod
     def create(cls, batch: int, max_len: int, n_kv_heads: int, head_dim: int,
                dtype=None, per_slot: bool = False):
         del dtype  # storage is int8; read() dequantizes to bf16
-        shape = (batch, max_len, n_kv_heads, head_dim)
+        shape = (batch, n_kv_heads, max_len, head_dim)
         pos = jnp.zeros((batch,) if per_slot else (), jnp.int32)
         return cls(
             k_q=jnp.zeros(shape, jnp.int8), v_q=jnp.zeros(shape, jnp.int8),
@@ -233,28 +247,30 @@ class QuantKVCache(NamedTuple):
         return q, scale
 
     def update(self, k_new: jax.Array, v_new: jax.Array) -> "QuantKVCache":
-        kq, ks = self._quantize(k_new)
-        vq, vs = self._quantize(v_new)
+        """Append k/v (B, Sq, H, D) at self.pos."""
+        kq, ks = self._quantize(k_new.transpose(0, 2, 1, 3))  # (B,H,Sq,D)
+        vq, vs = self._quantize(v_new.transpose(0, 2, 1, 3))
         if self.pos.ndim == 0:
             at4 = lambda buf, new: jax.lax.dynamic_update_slice(
-                buf, new, (0, self.pos, 0, 0))
+                buf, new, (0, 0, self.pos, 0))
             at3 = lambda buf, new: jax.lax.dynamic_update_slice(
-                buf, new, (0, self.pos, 0))
+                buf, new, (0, 0, self.pos))
             out = QuantKVCache(at4(self.k_q, kq), at4(self.v_q, vq),
                                at3(self.k_scale, ks), at3(self.v_scale, vs),
-                               self.pos + k_new.shape[1])
+                               self.pos + kq.shape[2])
         else:
             u4 = jax.vmap(lambda buf, new, p: jax.lax.dynamic_update_slice(
-                buf, new, (p, 0, 0)))
+                buf, new, (0, p, 0)))
             u3 = jax.vmap(lambda buf, new, p: jax.lax.dynamic_update_slice(
-                buf, new, (p, 0)))
+                buf, new, (0, p)))
             out = QuantKVCache(u4(self.k_q, kq, self.pos), u4(self.v_q, vq, self.pos),
                                u3(self.k_scale, ks, self.pos),
                                u3(self.v_scale, vs, self.pos),
-                               self.pos + k_new.shape[1])
+                               self.pos + kq.shape[2])
         return out
 
     def read(self) -> tuple[jax.Array, jax.Array]:
+        """(B, H, S, D) dequantized views (einsum fallback path)."""
         k = self.k_q.astype(jnp.float32) * self.k_scale[..., None]
         v = self.v_q.astype(jnp.float32) * self.v_scale[..., None]
         return k.astype(jnp.bfloat16), v.astype(jnp.bfloat16)
@@ -272,28 +288,30 @@ def attention(
 ) -> jax.Array:
     """Scaled dot-product attention with causal masking and GQA.
 
-    q: (B, Sq, n_heads, d); k/v: (B, Sk, n_kv_heads, d).  kv heads are
-    repeated to match q heads.  Query position i attends to key positions
-    j <= i + causal_offset; positions >= valid_len (if given) are masked
-    (used with a pre-allocated KV cache).  causal_offset and valid_len may
-    be scalars or per-batch (B,) arrays (continuous batching).  attn_mask:
-    optional (B, Sk) of {0,1} marking valid key positions (padding mask).
-    Softmax in float32 (matching the reference INT8 path, opt.py:168-189).
+    q: (B, Sq, n_heads, d); k/v: (B, n_kv_heads, Sk, d) — the KV cache's
+    native head-major layout (fresh projections transpose their small
+    (B, S, H, D) tensors on the way in).  kv heads are repeated to match q
+    heads.  Query position i attends to key positions j <= i + causal_offset;
+    positions >= valid_len (if given) are masked (used with a pre-allocated
+    KV cache).  causal_offset and valid_len may be scalars or per-batch (B,)
+    arrays (continuous batching).  attn_mask: optional (B, Sk) of {0,1}
+    marking valid key positions (padding mask).  Softmax in float32
+    (matching the reference INT8 path, opt.py:168-189).
     """
     b, sq, nh, d = q.shape
-    n_kv = k.shape[2]
+    n_kv = k.shape[1]
     if n_kv != nh:
         rep = nh // n_kv
-        k = jnp.repeat(k, rep, axis=2)
-        v = jnp.repeat(v, rep, axis=2)
+        k = jnp.repeat(k, rep, axis=1)
+        v = jnp.repeat(v, rep, axis=1)
     if scale is None:
         scale = 1.0 / (d ** 0.5)
 
     # (B, nh, Sq, Sk)
-    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    scores = jnp.einsum("bqhd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
     scores = scores * scale
 
-    sk = k.shape[1]
+    sk = k.shape[2]
     qi = jax.lax.broadcasted_iota(jnp.int32, (1, 1, sq, sk), 2)
     kj = jax.lax.broadcasted_iota(jnp.int32, (1, 1, sq, sk), 3)
 
@@ -309,7 +327,66 @@ def attention(
     scores = jnp.where(mask, scores, NEG_INF)
 
     probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
-    return jnp.einsum("bhqk,bkhd->bqhd", probs, v).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bqhd", probs, v).astype(q.dtype)
+
+
+def to_head_major(x: jax.Array) -> jax.Array:
+    """(B, S, H, D) → (B, H, S, D) for the no-cache attention path."""
+    return x.transpose(0, 2, 1, 3)
+
+
+def cached_attention(
+    q: jax.Array,
+    cache,
+    *,
+    causal_offset: jax.Array | int,
+    ctx: Optional[ForwardContext] = None,
+    scale: Optional[float] = None,
+    attn_mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Attention over an (already-updated) KVCache/QuantKVCache.
+
+    Dispatches between the fused Pallas flash-decode kernel (single-query
+    steps on shapes the kernel tiles) and the XLA einsum fallback.  The
+    kernel folds cache-fill validity and the continuous-batching key mask
+    into one additive bias, so both paths are numerically interchangeable
+    (tests assert parity).
+    """
+    from smoothquant_tpu.kernels import decode_attention as da
+
+    b, sq, nh, d = q.shape
+    quant = isinstance(cache, QuantKVCache)
+    kbuf = cache.k_q if quant else cache.k
+    n_kv, s = kbuf.shape[1], kbuf.shape[2]
+
+    mode = ctx.attn if ctx is not None else "auto"
+    interpret = bool(ctx is not None and ctx.interpret)
+    use_kernel = (
+        mode != "einsum"
+        and sq == 1
+        and da.supported(s, nh, n_kv, d)
+        and (mode == "kernel" or interpret or jax.default_backend() == "tpu")
+    )
+    if use_kernel:
+        valid = jnp.broadcast_to(jnp.asarray(cache.pos, jnp.int32), (b,))
+        col = jax.lax.broadcasted_iota(jnp.int32, (b, s), 1)
+        ok = col < valid[:, None]
+        if attn_mask is not None:
+            ok = jnp.logical_and(ok, attn_mask.astype(bool))
+        bias = jnp.where(ok, 0.0, da.NEG_INF).astype(jnp.float32)
+        if quant:
+            out = da.decode_attention(
+                q[:, 0], cache.k_q, cache.v_q, bias,
+                cache.k_scale, cache.v_scale,
+                sm_scale=scale, interpret=interpret)
+        else:
+            out = da.decode_attention(
+                q[:, 0], cache.k, cache.v, bias,
+                sm_scale=scale, interpret=interpret)
+        return out[:, None]
+
+    return attention(q, *cache.read(), causal_offset=causal_offset,
+                     valid_len=cache.pos, scale=scale, attn_mask=attn_mask)
 
 
 def unembed(x: jax.Array, embedding: jax.Array) -> jax.Array:

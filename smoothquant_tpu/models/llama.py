@@ -25,9 +25,11 @@ from smoothquant_tpu.models.common import (
     KVCache,
     apply_rotary,
     attention,
+    cached_attention,
     call_linear,
     rms_norm,
     rotary_cos_sin,
+    to_head_major,
     unembed,
 )
 from smoothquant_tpu.quant.config import QuantConfig
@@ -186,12 +188,11 @@ def _decoder_layer(
     if cache is not None:
         offset = cache.pos
         cache = cache.update(k, v)
-        attn_out = attention(
-            q, *cache.read(), causal_offset=offset, valid_len=cache.pos,
-            attn_mask=attn_mask,
-        )
+        attn_out = cached_attention(q, cache, causal_offset=offset, ctx=ctx,
+                                    attn_mask=attn_mask)
     else:
-        attn_out = attention(q, k, v, attn_mask=attn_mask)
+        attn_out = attention(q, to_head_major(k), to_head_major(v),
+                             attn_mask=attn_mask)
     attn_out = attn_out.reshape(b, s, nh * d)
     x = residual + call_linear(sa["o_proj"], attn_out, f"{layer_name}.self_attn.o_proj", ctx)
 
@@ -227,7 +228,7 @@ def stack_layers(params: dict, cfg: LlamaConfig) -> dict:
 def stacked_caches(cfg: LlamaConfig, batch: int, max_len: int, dtype,
                    pos: int = 0) -> KVCache:
     """A scan-ready KV cache: every field carries a leading layers axis."""
-    shape = (cfg.num_hidden_layers, batch, max_len, cfg.num_key_value_heads,
+    shape = (cfg.num_hidden_layers, batch, cfg.num_key_value_heads, max_len,
              cfg.head_dim)
     return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
                    pos=jnp.full((cfg.num_hidden_layers,), pos, jnp.int32))

@@ -27,9 +27,11 @@ from smoothquant_tpu.models.common import (
     KVCache,
     apply_rotary,
     attention,
+    cached_attention,
     call_linear,
     rms_norm,
     rotary_cos_sin,
+    to_head_major,
     unembed,
 )
 from smoothquant_tpu.quant.config import QuantConfig
@@ -294,11 +296,11 @@ def forward(
         if cache is not None:
             offset = cache.pos
             cache = cache.update(k, v)
-            ck, cv = cache.read()
-            a = attention(q, ck, cv, causal_offset=offset,
-                          valid_len=cache.pos, attn_mask=attn_mask)
+            a = cached_attention(q, cache, causal_offset=offset, ctx=ctx,
+                                 attn_mask=attn_mask)
         else:
-            a = attention(q, k, v, attn_mask=attn_mask)
+            a = attention(q, to_head_major(k), to_head_major(v),
+                          attn_mask=attn_mask)
         x = residual + call_linear(sa["o_proj"], a.reshape(b, s, nh * d),
                                    f"{name}.self_attn.o_proj", ctx)
 

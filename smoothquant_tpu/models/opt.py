@@ -24,8 +24,10 @@ from smoothquant_tpu.models.common import (
     ForwardContext,
     KVCache,
     attention,
+    cached_attention,
     call_linear,
     layer_norm,
+    to_head_major,
     unembed,
 )
 from smoothquant_tpu.quant.config import QuantConfig
@@ -130,11 +132,11 @@ def _decoder_layer(lp, x, cfg, layer_name, ctx, cache, attn_mask):
     if cache is not None:
         offset = cache.pos
         cache = cache.update(k, v)
-        ck, cv = cache.read()
-        attn_out = attention(q, ck, cv, causal_offset=offset,
-                             valid_len=cache.pos, scale=1.0, attn_mask=attn_mask)
+        attn_out = cached_attention(q, cache, causal_offset=offset, ctx=ctx,
+                                    scale=1.0, attn_mask=attn_mask)
     else:
-        attn_out = attention(q, k, v, scale=1.0, attn_mask=attn_mask)
+        attn_out = attention(q, to_head_major(k), to_head_major(v),
+                             scale=1.0, attn_mask=attn_mask)
     attn_out = attn_out.reshape(b, s, h)
     x = residual + call_linear(sa["out_proj"], attn_out, f"{layer_name}.self_attn.out_proj", ctx)
     if not cfg.do_layer_norm_before:
@@ -151,6 +153,27 @@ def _decoder_layer(lp, x, cfg, layer_name, ctx, cache, attn_mask):
     return x, cache
 
 
+def stack_layers(params: dict, cfg: OPTConfig) -> dict:
+    """Pre-stack the per-layer pytrees along a leading L axis for the
+    lax.scan forward — one compiled layer body instead of num_hidden_layers
+    (same mechanism as llama.stack_layers; the compile-time win matters most
+    for the 24-48-layer OPT sizes)."""
+    layer_list = [params["layers"][str(i)] for i in range(cfg.num_hidden_layers)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layer_list)
+    out = {k: v for k, v in params.items() if k != "layers"}
+    out["layers"] = {"stacked": stacked}
+    return out
+
+
+def stacked_caches(cfg: OPTConfig, batch: int, max_len: int, dtype,
+                   pos: int = 0) -> KVCache:
+    """A scan-ready KV cache: every field carries a leading layers axis."""
+    shape = (cfg.num_hidden_layers, batch, cfg.num_attention_heads, max_len,
+             cfg.head_dim)
+    return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
+                   pos=jnp.full((cfg.num_hidden_layers,), pos, jnp.int32))
+
+
 def forward(
     params: dict,
     input_ids: jax.Array,
@@ -162,11 +185,17 @@ def forward(
 ) -> tuple[jax.Array, Optional[list[KVCache]]]:
     """Returns (logits float32 (B,S,V), updated caches or None)."""
     b, s = input_ids.shape
+    stacked_mode = "stacked" in params["layers"]
     x = jnp.take(params["embed_tokens"]["weight"], input_ids, axis=0)
     if "project_in" in params:
         x = x @ params["project_in"]["weight"].T.astype(x.dtype)
     if positions is None:
-        start = caches[0].pos if caches is not None else 0
+        if caches is None:
+            start = 0
+        elif stacked_mode:
+            start = caches.pos[0]
+        else:
+            start = caches[0].pos
         start = jnp.asarray(start)
         if start.ndim == 1:  # per-slot cache positions (continuous batching)
             start = start[:, None]
@@ -174,15 +203,28 @@ def forward(
     pos_emb = jnp.take(params["embed_positions"]["weight"], positions + POS_OFFSET, axis=0)
     x = x + pos_emb.astype(x.dtype)
 
-    new_caches = [] if caches is not None else None
-    for i in range(cfg.num_hidden_layers):
-        layer_cache = caches[i] if caches is not None else None
-        x, layer_cache = _decoder_layer(
-            params["layers"][str(i)], x, cfg, f"model.decoder.layers.{i}",
-            ctx, layer_cache, attn_mask,
-        )
-        if new_caches is not None:
-            new_caches.append(layer_cache)
+    if stacked_mode:
+        assert ctx is None or ctx.taps is None, "taps unsupported with scan"
+
+        def body(carry, layer_in):
+            lp, cache = layer_in
+            y, cache = _decoder_layer(lp, carry, cfg,
+                                      "model.decoder.layers.scan",
+                                      ctx, cache, attn_mask)
+            return y, cache
+
+        x, new_caches = jax.lax.scan(body, x,
+                                     (params["layers"]["stacked"], caches))
+    else:
+        new_caches = [] if caches is not None else None
+        for i in range(cfg.num_hidden_layers):
+            layer_cache = caches[i] if caches is not None else None
+            x, layer_cache = _decoder_layer(
+                params["layers"][str(i)], x, cfg, f"model.decoder.layers.{i}",
+                ctx, layer_cache, attn_mask,
+            )
+            if new_caches is not None:
+                new_caches.append(layer_cache)
 
     # decoder-level final LN exists only with do_layer_norm_before (HF OPT)
     if "final_layer_norm" in params:

@@ -166,20 +166,21 @@ def _int8_attention(q8, k8, v8, scales: dict, cfg: OPTConfig, interpret: bool,
                     causal_offset=0, valid_len=None, attn_mask=None):
     """int8 QK^T → fp32 softmax → ×127 int8 probs → int8 PV (opt.py:94-209).
 
-    q8: (B, Sq, H) int8.  k8/v8: (B, Sk, nh, d) int8 — either the current
-    step's keys/values or a full static KV cache (the cache stores the raw
-    static-scale int8 projections, exactly what the reference's past_key_value
-    carries on the int8 path, opt.py:122-133 — so cached decode is
-    bit-identical to teacher-forced).  Masking follows models.common.attention:
-    query i sees keys j <= i + causal_offset, j < valid_len, attn_mask.
+    q8: (B, Sq, H) int8.  k8/v8: (B, nh, Sk, d) int8 head-major — either the
+    current step's keys/values or a full static KV cache (the cache stores the
+    raw static-scale int8 projections, exactly what the reference's
+    past_key_value carries on the int8 path, opt.py:122-133 — so cached decode
+    is bit-identical to teacher-forced).  Masking follows
+    models.common.attention: query i sees keys j <= i + causal_offset,
+    j < valid_len, attn_mask.
     """
     b, sq, h = q8.shape
     nh, d = cfg.num_attention_heads, cfg.head_dim
-    sk = k8.shape[1]
+    sk = k8.shape[2]
 
     q3 = q8.reshape(b, sq, nh, d).transpose(0, 2, 1, 3).reshape(b * nh, sq, d)
-    k3 = k8.transpose(0, 2, 1, 3).reshape(b * nh, sk, d)
-    v3 = v8.transpose(0, 2, 1, 3).reshape(b * nh, sk, d)
+    k3 = k8.reshape(b * nh, sk, d)
+    v3 = v8.reshape(b * nh, sk, d)
 
     alpha_qk = scales["q_output_scale"] * scales["k_output_scale"]
     logits = int8_bmm(q3, k3, alpha_qk, out_dtype=jnp.float32, interpret=interpret)
@@ -254,8 +255,9 @@ def forward(params: dict, input_ids: jax.Array, cfg: OPTConfig,
                                    attn_mask=attn_mask)
             new_caches.append(cache)
         else:
-            ctx8 = _int8_attention(q8, k4, v4, sc, cfg, interpret,
-                                   attn_mask=attn_mask)
+            ctx8 = _int8_attention(q8, k4.transpose(0, 2, 1, 3),
+                                   v4.transpose(0, 2, 1, 3), sc, cfg,
+                                   interpret, attn_mask=attn_mask)
         attn_out = lp.out_proj(ctx8, out_dtype=jnp.float32, interpret=interpret)
         x = residual + attn_out  # fp residual add (opt.py:298)
 

@@ -64,6 +64,7 @@ def pack_model(
     compute_dtype=None,
     nibble: bool = False,
     lm_head_qcfg: Optional[QuantConfig] = None,
+    host_pack: bool = False,
 ) -> dict:
     """Replace every quantizable linear with a PackedLinear (real-kernel path).
 
@@ -75,6 +76,9 @@ def pack_model(
     with this (typically W8A8 per-channel) recipe — the reference leaves the
     lm_head fp16, which at decode re-reads V×H bf16 bytes every step and
     caps the achievable speedup.
+    host_pack: quantize + nibble-pack on the host (native OpenMP lib) before
+    device transfer — cold-start checkpoint ingestion moves ~4-8 bits per
+    weight element host→device instead of 16 and compiles nothing.
     """
     import jax.numpy as jnp
     import numpy as np
@@ -88,12 +92,13 @@ def pack_model(
         lin = _get_path(params, path)
         imp = None if input_feat is None else np.asarray(input_feat[key])
         absmax = None if act_scales is None else np.asarray(act_scales[key])
-        # weights stay on device — pack_linear's heavy work is jitted there
         packed = pack_linear(lin, qcfg, importance=imp, act_absmax=absmax,
-                             compute_dtype=compute_dtype, nibble=nibble)
+                             compute_dtype=compute_dtype, nibble=nibble,
+                             host_pack=host_pack)
         params = _set_path(params, path, packed)
     if lm_head_qcfg is not None and isinstance(params.get("lm_head"), dict):
         params = dict(params)
         params["lm_head"] = pack_linear(params["lm_head"], lm_head_qcfg,
-                                        compute_dtype=compute_dtype)
+                                        compute_dtype=compute_dtype,
+                                        host_pack=host_pack)
     return params

@@ -97,10 +97,15 @@ class ContinuousBatcher:
                         continue
                     buf = getattr(c, field)
                     row = getattr(rc, field)
-                    # a prefill bucket may exceed max_len; rows past max_len
-                    # are bucket padding (never attended to) — drop them
-                    if row.shape[0] > buf.shape[1]:
-                        row = row[: buf.shape[1]]
+                    # a prefill bucket may exceed max_len; cache positions
+                    # past max_len are bucket padding (never attended to) —
+                    # drop them on whichever axis outgrew the pool buffer
+                    # (S sits at a different axis per field in the
+                    # head-major layout)
+                    for ax in range(row.ndim):
+                        if row.shape[ax] > buf.shape[1 + ax]:
+                            row = jax.lax.slice_in_dim(
+                                row, 0, buf.shape[1 + ax], axis=ax)
                     start = (slot,) + (0,) * (buf.ndim - 1)
                     new_fields[field] = jax.lax.dynamic_update_slice(
                         buf, row[None].astype(buf.dtype), start)

@@ -26,11 +26,15 @@ def time_steps(
     iters: int = 8,
     baseline_iters: int = 2,
     warmup: bool = True,
+    repeats: int = 1,
 ) -> float:
     """Seconds per call of step(*args).
 
     step must return an array; its mean is chained into a dummy additive
     perturbation of the first (integer) arg to serialize iterations.
+    repeats > 1 re-measures and takes the minimum difference — use with
+    large `iters` for sub-0.1 ms kernels where tunnel jitter (~1 ms)
+    otherwise swamps the signal.
     """
 
     def chained(n_iters):
@@ -55,12 +59,25 @@ def time_steps(
         float(run_big(*args))
         float(run_small(*args))
 
-    t0 = time.perf_counter()
-    float(run_small(*args))
-    t_small = time.perf_counter() - t0
+    first = args[0]
+    perturbable = hasattr(first, "dtype") and jnp.issubdtype(
+        jnp.asarray(first).dtype, jnp.floating)
 
-    t0 = time.perf_counter()
-    float(run_big(*args))
-    t_big = time.perf_counter() - t0
+    diffs = []
+    for r in range(repeats):
+        # repeated IDENTICAL executions can be memoized upstream (see module
+        # docstring) — vary the first float arg per repeat to defeat that
+        a = ((first + jnp.asarray((r + 1) * 1e-6, first.dtype),)
+             + tuple(args[1:]) if perturbable else args)
+        t0 = time.perf_counter()
+        float(run_small(*a))
+        t_small = time.perf_counter() - t0
 
-    return max(t_big - t_small, 1e-9) / iters
+        t0 = time.perf_counter()
+        float(run_big(*a))
+        t_big = time.perf_counter() - t0
+        diffs.append(max(t_big - t_small, 1e-9) / iters)
+    # tunnel roundtrip jitter spikes corrupt individual differences in either
+    # direction — the median is the robust estimator
+    diffs.sort()
+    return diffs[len(diffs) // 2]

@@ -132,6 +132,148 @@ def load_packed_model(path: str) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# Per-host sharded packed checkpoints (SURVEY.md §5 checkpoint row: "sharded
+# per host").  Each PackedLinear leaf is split along its tensor-parallel axis
+# — the same partitioning parallel.tp_packed.packed_model_specs assigns at
+# runtime (O axis for column-parallel, the K-concatenated leading axis for
+# row-parallel) — into shard-<i>-of-<n>.npz files plus a manifest.json.  A
+# host loads ONLY its shard file (shard=i) to get exactly the local params a
+# shard_map forward consumes, or shard=None reassembles the global pytree.
+# ---------------------------------------------------------------------------
+
+
+def _tp_axis_of(spec) -> int | None:
+    """Index of the TP-sharded axis in a PartitionSpec, else None."""
+    from smoothquant_tpu.parallel.mesh import TP_AXIS
+
+    if spec is None:
+        return None
+    for i, s in enumerate(spec):
+        if s == TP_AXIS:
+            return i
+    return None
+
+
+def save_packed_model_sharded(params: dict, dir_path: str, n_shards: int) -> None:
+    """Split a pack_model()/pack_model_tp() pytree into per-host shard files.
+
+    For row-parallel ("psum") leaves the leading axis is a concatenation of
+    exactly the shards pack_linear_row_sharded built, so n_shards must match
+    that tp degree; column-parallel leaves only need O % n_shards == 0.
+    Replicated leaves (norms, embeddings, biases of psum layers, perms of
+    column layers) are stored once, in every-host-reads manifest shard 0.
+    """
+    import os
+
+    from smoothquant_tpu.kernels.pack import PackedLinear
+    from smoothquant_tpu.parallel.tp_packed import packed_model_specs
+
+    os.makedirs(dir_path, exist_ok=True)
+    specs = packed_model_specs(params)
+    flat_p = _flatten(params)
+    flat_s = {}
+
+    def walk_spec(node, prefix=""):
+        if isinstance(node, PackedLinear):
+            for f in dataclasses.fields(node):
+                if f.name == "meta":
+                    continue
+                flat_s[f"{prefix}{f.name}"] = getattr(node, f.name)
+        elif isinstance(node, dict):
+            for k, v in node.items():
+                walk_spec(v, f"{prefix}{k}/")
+        elif node is not None:
+            flat_s[prefix[:-1]] = node
+
+    walk_spec(specs)
+
+    metas: dict = {}
+
+    def walk_meta(node, prefix=""):
+        if isinstance(node, PackedLinear):
+            metas[prefix[:-1]] = dataclasses.asdict(node.meta)
+        elif isinstance(node, dict):
+            for k, v in node.items():
+                walk_meta(v, f"{prefix}{k}/")
+
+    walk_meta(params)
+
+    shards: list[dict] = [{} for _ in range(n_shards)]
+    axes: dict = {}
+    for key, arr in flat_p.items():
+        ax = _tp_axis_of(flat_s.get(key))
+        if ax is None:
+            shards[0][key] = arr
+            continue
+        if arr.shape[ax] % n_shards:
+            raise ValueError(
+                f"{key}: axis {ax} size {arr.shape[ax]} not divisible by "
+                f"n_shards={n_shards}")
+        axes[key] = ax
+        step = arr.shape[ax] // n_shards
+        for i in range(n_shards):
+            shards[i][key] = np.take(
+                arr, np.arange(i * step, (i + 1) * step), axis=ax)
+
+    manifest = {"n_shards": n_shards, "metas": metas, "axes": axes}
+    with open(f"{dir_path}/manifest.json", "w") as f:
+        json.dump(manifest, f)
+    for i, flat in enumerate(shards):
+        np.savez(f"{dir_path}/shard-{i:05d}-of-{n_shards:05d}.npz", **flat)
+
+
+def load_packed_model_sharded(dir_path: str, shard: int | None = None) -> dict:
+    """Load a sharded packed checkpoint.
+
+    shard=i → this host's LOCAL params (sharded leaves hold only shard i;
+    meta still records global dims, as under shard_map).  shard=None →
+    reassemble the global pytree by concatenating every shard.
+    """
+    import jax.numpy as jnp
+
+    from smoothquant_tpu.kernels.pack import PackedLinear, PackedMeta
+
+    with open(f"{dir_path}/manifest.json") as f:
+        manifest = json.load(f)
+    n = manifest["n_shards"]
+    axes = manifest["axes"]
+
+    def shard_file(i):
+        return load_flat(f"{dir_path}/shard-{i:05d}-of-{n:05d}.npz")
+
+    if shard is not None:
+        flat = shard_file(0) if shard == 0 else {}
+        if shard != 0:
+            flat = {k: v for k, v in shard_file(0).items() if k not in axes}
+            flat.update(shard_file(shard))
+    else:
+        parts = [shard_file(i) for i in range(n)]
+        flat = dict(parts[0])
+        for key, ax in axes.items():
+            flat[key] = np.concatenate([p[key] for p in parts], axis=ax)
+
+    nested = unflatten(flat)
+    metas = manifest["metas"]
+
+    def rebuild(node, prefix=""):
+        key = prefix[:-1]
+        if key in metas:
+            return PackedLinear(
+                w_qt=jnp.asarray(node["w_qt"]),
+                w_scales_t=jnp.asarray(node["w_scales_t"]),
+                w_sal_t=jnp.asarray(node["w_sal_t"]),
+                bias=jnp.asarray(node["bias"]) if "bias" in node else None,
+                perm=jnp.asarray(node["perm"]),
+                meta=PackedMeta(**metas[key]),
+            )
+        if isinstance(node, dict):
+            return {k: rebuild(v, f"{prefix}{k}/") for k, v in node.items()}
+        return jnp.asarray(node)
+
+    return rebuild(nested)
+
+
+# ---------------------------------------------------------------------------
 # INT8 OPT artifact (export_int8_model CLI)
 # ---------------------------------------------------------------------------
 

@@ -58,6 +58,48 @@ def test_packed_model_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
 
+def test_sharded_packed_checkpoint_roundtrip(tmp_path):
+    """Per-host shards: local shard == what shard_map hands a device; global
+    reassembly == the original pytree (SURVEY.md §5 sharded checkpoints)."""
+    from smoothquant_tpu.parallel.tp_packed import pack_model_tp
+    from smoothquant_tpu.utils.checkpoint import (
+        load_packed_model_sharded,
+        save_packed_model_sharded,
+    )
+
+    cfg = jllama.LlamaConfig.tiny()
+    params = jllama.init_params(jax.random.PRNGKey(3), cfg)
+    qcfg = w4a4_group(group_size=16, salient_prop=0.0)
+    tp = 2
+    packed = pack_model_tp("llama", params, cfg, qcfg, tp=tp,
+                           compute_dtype=jnp.float32)
+    d = str(tmp_path / "sharded")
+    save_packed_model_sharded(packed, d, n_shards=tp)
+
+    # global reassembly is exact
+    glob = load_packed_model_sharded(d)
+    q0 = packed["layers"]["0"]["self_attn"]["q_proj"]
+    g0 = glob["layers"]["0"]["self_attn"]["q_proj"]
+    np.testing.assert_array_equal(np.asarray(g0.w_qt), np.asarray(q0.w_qt))
+    assert g0.meta == q0.meta
+
+    # local shard 1: column-parallel leaves hold the second O-half, the
+    # row-parallel (psum) o_proj holds the second K-half
+    loc = load_packed_model_sharded(d, shard=1)
+    l_q = loc["layers"]["0"]["self_attn"]["q_proj"]
+    o_half = q0.w_qt.shape[1] // tp
+    np.testing.assert_array_equal(np.asarray(l_q.w_qt),
+                                  np.asarray(q0.w_qt[:, o_half:]))
+    o0 = packed["layers"]["0"]["self_attn"]["o_proj"]
+    l_o = loc["layers"]["0"]["self_attn"]["o_proj"]
+    k_half = o0.w_qt.shape[0] // tp
+    np.testing.assert_array_equal(np.asarray(l_o.w_qt),
+                                  np.asarray(o0.w_qt[k_half:]))
+    # replicated leaves (norms, embeddings) present in every local view
+    np.testing.assert_array_equal(
+        np.asarray(loc["norm"]["weight"]), np.asarray(packed["norm"]["weight"]))
+
+
 def test_act_scales_npz_roundtrip(tmp_path):
     scales = {"model.layers.0.self_attn.q_proj":
               np.random.default_rng(0).uniform(0.1, 2.0, size=(64,)).astype(np.float32)}

@@ -23,12 +23,14 @@ def test_quant_cache_roundtrip_accuracy():
     v = rng.normal(size=(2, 5, 4, 16)).astype(np.float32)
     c = QuantKVCache.create(2, 8, 4, 16)
     c = c.update(jnp.asarray(k), jnp.asarray(v))
-    kd, vd = c.read()
+    kd, vd = c.read()  # head-major (B, H, S, D)
     # int8 + per-head scales: relative error ~1/127 plus bf16 read rounding
-    np.testing.assert_allclose(np.asarray(kd, np.float32)[:, :5], k,
-                               atol=np.abs(k).max() / 64)
-    np.testing.assert_allclose(np.asarray(vd, np.float32)[:, :5], v,
-                               atol=np.abs(v).max() / 64)
+    np.testing.assert_allclose(
+        np.asarray(kd, np.float32).transpose(0, 2, 1, 3)[:, :5], k,
+        atol=np.abs(k).max() / 64)
+    np.testing.assert_allclose(
+        np.asarray(vd, np.float32).transpose(0, 2, 1, 3)[:, :5], v,
+        atol=np.abs(v).max() / 64)
     assert int(c.pos) == 5
 
 
@@ -39,9 +41,9 @@ def test_quant_cache_per_slot_positions():
     k = jnp.asarray(rng.normal(size=(2, 1, 2, 8)).astype(np.float32))
     c2 = c.update(k, k)
     np.testing.assert_array_equal(np.asarray(c2.pos), [1, 4])
-    # row 1's write landed at position 3
-    assert np.abs(np.asarray(c2.k_q)[1, 3]).sum() > 0
-    assert np.abs(np.asarray(c2.k_q)[1, 0]).sum() == 0
+    # slot 1's write landed at position 3 (head-major: pos is axis 2)
+    assert np.abs(np.asarray(c2.k_q)[1, :, 3]).sum() > 0
+    assert np.abs(np.asarray(c2.k_q)[1, :, 0]).sum() == 0
 
 
 def test_generator_quant_kv_close_to_fp_cache(tiny_llama):
