@@ -66,6 +66,10 @@ void group_quant(const float* w, int64_t out, int64_t in, int64_t group,
 // channel r in the low nibble and channel r + K/2 in the high nibble of the
 // TRANSPOSED (K, O) int8 input.  Unpacking the halves yields two contiguous
 // channel ranges — the layout the int4 Pallas kernel expects.
+// Nibbles are stored BIASED by +8 (value v in [-8,7] → v+8 in [0,15]): the
+// kernel then extracts both halves with two AND/SHIFT ops per 32-bit word
+// (8 weights) and corrects the bias on the accumulator with -8*sum(x) per
+// group — no per-element sign-extension on the VPU.
 void pack_nibbles_split(const int8_t* qt, int64_t k, int64_t o, int8_t* packed) {
   const int64_t half = k / 2;
 #pragma omp parallel for schedule(static)
@@ -74,7 +78,7 @@ void pack_nibbles_split(const int8_t* qt, int64_t k, int64_t o, int8_t* packed) 
     const int8_t* hi = qt + (r + half) * o;
     int8_t* dst = packed + r * o;
     for (int64_t c = 0; c < o; ++c) {
-      dst[c] = (int8_t)((lo[c] & 0x0F) | ((hi[c] & 0x0F) << 4));
+      dst[c] = (int8_t)(((lo[c] + 8) & 0x0F) | (((hi[c] + 8) & 0x0F) << 4));
     }
   }
 }

@@ -144,7 +144,7 @@ def main(which):
             t = time_steps(jax.jit(
                 lambda x_, w_=w: jnp.dot(x_, w_,
                                          preferred_element_type=jnp.float32)
-                .astype(jnp.bfloat16)), (x,), iters=16)
+                .astype(jnp.bfloat16)), (x,), iters=64, repeats=5)
             emit("prefill_bf16", (k, o), "xla_dot", t, k * o * 2)
 
             _log(f"prefill dequant {k}x{o}")
@@ -168,10 +168,18 @@ def main(which):
                     preferred_element_type=jnp.int32)
                 return (acc.astype(jnp.float32) * sw_[None, :]).astype(jnp.bfloat16)
 
-            t = time_steps(jax.jit(w8a8), (x8,), iters=16)
+            t = time_steps(jax.jit(w8a8), (x8,), iters=64, repeats=5)
             emit("prefill_w8a8", (k, o), "xla_int8_dot", t, k * o)
 
-    if "layer_decode" in which:
+            # the shipped prefill recipe: promote_int8 packed linear through
+            # the int kernel (single group, full-depth int8 contraction)
+            from smoothquant_tpu.kernels.pack import promote_int8
+            p8 = promote_int8(p)
+            wb8 = p8.w_qt.nbytes + p8.w_sal_t.nbytes
+            t = bench_linear(p8, n, "int")
+            emit("prefill_promoted", (k, o), "int_colscale", t, wb8)
+
+    if "layer_decode" in which or "layer_decode_unrolled" in which:
         # full packed decoder-layer decode cost via depth differencing:
         # (t(8L) - t(4L)) / 4 cancels embed/unembed/dispatch constants.
         import dataclasses
@@ -182,7 +190,7 @@ def main(which):
 
         batch, cache_len = 4, 512
 
-        def build(depth, attn_mode):
+        def build(depth, attn_mode, stacked=True):
             cfg = dataclasses.replace(
                 llama.LlamaConfig.llama2_7b(), num_hidden_layers=depth,
                 vocab_size=2048, tie_word_embeddings=True)
@@ -206,33 +214,62 @@ def main(which):
                 "layers": layers,
                 "norm": {"weight": jnp.ones((h,), jnp.bfloat16)},
             }
-            params = llama.stack_layers(params, cfg)
-            caches = llama.stacked_caches(cfg, batch, cache_len, jnp.bfloat16,
-                                          pos=cache_len - 64)
+            if stacked:
+                params = llama.stack_layers(params, cfg)
+                caches = llama.stacked_caches(cfg, batch, cache_len,
+                                              jnp.bfloat16, pos=cache_len - 64)
+            else:
+                from smoothquant_tpu.models.common import KVCache
+                caches = [KVCache.create(batch, cache_len,
+                                         cfg.num_key_value_heads,
+                                         cfg.head_dim, jnp.bfloat16)
+                          ._replace(pos=jnp.asarray(cache_len - 64))
+                          for _ in range(depth)]
             ctx = ForwardContext(quant=qcfg, compute="int", attn=attn_mode)
 
-            def step(t, p=params, c=caches):
+            # params/caches MUST be jit ARGS, not closure constants — XLA
+            # constant-folds closed-over weights (GBs) at compile time
+            def step(t, p, c):
                 logits, _ = llama.forward(p, t, cfg, ctx=ctx, caches=c)
                 return logits[:, -1]
 
             tok = jnp.asarray(rng.integers(0, cfg.vocab_size,
                                            size=(batch, 1)))
-            return step, tok
+            return step, (tok, params, caches)
 
-        for attn_mode in ("einsum", "kernel"):
-            ts = {}
-            for depth in (4, 8):
-                _log(f"layer_decode depth {depth} attn={attn_mode}")
-                step, tok = build(depth, attn_mode)
-                ts[depth] = time_steps(jax.jit(step), (tok,), iters=64,
-                                       repeats=5)
-                emit("layer_decode", (depth, cache_len),
-                     f"stacked_{attn_mode}", ts[depth], 0)
-            per_layer = (ts[8] - ts[4]) / 4
-            # per-layer packed bytes: int4 body + scales + salient + KV read
-            lw = (4 * 4096 * 4096 + 3 * 4096 * 11008) // 2
-            emit("layer_decode", (1, cache_len), f"per_layer_{attn_mode}",
-                 per_layer, lw)
+        lw = (4 * 4096 * 4096 + 3 * 4096 * 11008) // 2
+        if "layer_decode" in which:
+            for attn_mode in ("einsum", "kernel"):
+                ts = {}
+                for depth in (4, 8):
+                    _log(f"layer_decode depth {depth} attn={attn_mode}")
+                    step, args = build(depth, attn_mode)
+                    ts[depth] = time_steps(jax.jit(step), args, iters=64,
+                                           repeats=5)
+                    emit("layer_decode", (depth, cache_len),
+                         f"stacked_{attn_mode}", ts[depth], 0)
+                per_layer = (ts[8] - ts[4]) / 4
+                emit("layer_decode", (1, cache_len),
+                     f"per_layer_{attn_mode}", per_layer, lw)
+
+        if "layer_decode_unrolled" in which:
+            # hypothesis check: lax.scan must COPY each layer's packed
+            # weights into the pallas_call operands (dynamic-slice can't
+            # fuse) — the unrolled python-loop forward feeds kernels from
+            # resting buffers
+            for attn_mode in ("kernel",):
+                ts = {}
+                for depth in (4, 8):
+                    _log(f"layer_decode_unrolled depth {depth} "
+                         f"attn={attn_mode}")
+                    step, args = build(depth, attn_mode, stacked=False)
+                    ts[depth] = time_steps(jax.jit(step), args, iters=64,
+                                           repeats=5)
+                    emit("layer_decode_unrolled", (depth, cache_len),
+                         f"loop_{attn_mode}", ts[depth], 0)
+                per_layer = (ts[8] - ts[4]) / 4
+                emit("layer_decode_unrolled", (1, cache_len),
+                     f"per_layer_{attn_mode}", per_layer, lw)
 
     if "int4_tiles" in which:
         from smoothquant_tpu.kernels.int4_group_matmul import int4_group_matmul
@@ -265,6 +302,30 @@ def main(which):
                                           "variant": f"o{tile_o}_g{tile_g}",
                                           "error": str(e)[:120]}), flush=True)
 
+    if "packing" in which:
+        # cold-start ingestion: host-side native pack (+ transfer of packed
+        # bytes) vs device-side pack (transfer fp32 + jit quantize)
+        import time as _time
+
+        from smoothquant_tpu.kernels.pack import pack_linear
+
+        k, o = 4096, 11008
+        w = (rng.standard_normal((o, k)) * 0.02).astype(np.float32)
+        imp = rng.uniform(0.1, 1.0, size=(k,))
+        for variant, host in (("device", False), ("host_native", True)):
+            ts = []
+            for r in range(3):
+                t0 = _time.perf_counter()
+                # the fp host→device transfer is part of the device-path
+                # cold-start cost being compared
+                lin = {"weight": w if host else jnp.asarray(w), "bias": None}
+                p = pack_linear(lin, qcfg, importance=imp, nibble=True,
+                                host_pack=host)
+                jax.block_until_ready(p.w_qt)
+                np.asarray(p.w_qt[0, :8])  # force fetch → true sync
+                ts.append(_time.perf_counter() - t0)
+            emit("packing", (k, o), variant, min(ts), k * o // 2)
+
     if "int4_native" in which:
         # does XLA lower an int4 dot natively on this chip?
         try:
@@ -278,7 +339,7 @@ def main(which):
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32)
 
-            t = time_steps(jax.jit(i4dot), (x8,), iters=16)
+            t = time_steps(jax.jit(i4dot), (x8,), iters=64, repeats=5)
             emit("int4_native", (k, o), "xla_int4_dot", t, k * o // 2)
         except Exception as e:  # noqa: BLE001
             print(json.dumps({"exp": "int4_native", "error": str(e)[:200]}),

@@ -18,6 +18,7 @@ Constraint: (K/2) % group_size == 0 so groups never straddle the halves.
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -29,37 +30,61 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _unpack_nibbles(packed: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """int8 packed bytes → (lo, hi) int8 int4-range values."""
-    w32 = packed.astype(jnp.int32)
-    lo = jnp.right_shift(jnp.left_shift(w32, 28), 28)
-    hi = jnp.right_shift(jnp.left_shift(w32, 24), 28)
-    return lo.astype(jnp.int8), hi.astype(jnp.int8)
+def _unpack_nibbles_biased(packed: jax.Array,
+                           interpret: bool) -> tuple[jax.Array, jax.Array]:
+    """int8 packed bytes → (lo_u, hi_u) int8 BIASED nibbles (true value + 8).
+
+    Compiled path: bitcast 4 sublane-adjacent bytes into one int32 lane and
+    mask both nibble sets with TWO ops per 32-bit word — ~0.4 VPU ops per
+    weight element instead of ~3.5 for per-element sign extension, which was
+    the decode bottleneck (unpack serialized against the MXU).  The byte→
+    lane packing order is irrelevant because the reverse bitcast restores
+    it; the shift's cross-byte leakage lands in masked-out bit positions.
+    The +8 bias is removed on the int32 accumulator (-8·Σx per group), not
+    per element.
+    """
+    if interpret:  # interpreter has no tiled layout to bitcast against
+        w32 = packed.astype(jnp.int32)
+        lo_u = (w32 & 0xF).astype(jnp.int8)
+        hi_u = (jnp.right_shift(w32, 4) & 0xF).astype(jnp.int8)
+        return lo_u, hi_u
+    w32v = pltpu.bitcast(packed, jnp.int32)
+    mask = jnp.int32(0x0F0F0F0F)
+    lo_u = pltpu.bitcast(w32v & mask, jnp.int8)
+    hi_u = pltpu.bitcast(jnp.right_shift(w32v, 4) & mask, jnp.int8)
+    return lo_u, hi_u
 
 
 def _accum_halves(x_lo_ref, x_hi_ref, xs_lo_ref, xs_hi_ref, wp_ref,
-                  ws_lo_ref, ws_hi_ref, out_ref, gpt: int):
-    w_lo, w_hi = _unpack_nibbles(wp_ref[:])  # each (gpt, gs, TO)
+                  ws_lo_ref, ws_hi_ref, out_ref, gpt: int, interpret: bool):
+    w_lo, w_hi = _unpack_nibbles_biased(wp_ref[:], interpret)  # (gpt, gs, TO)
 
     # static Python loop: values (w_lo/w_hi) can't be dynamically indexed in
     # Mosaic, and gpt is a compile-time constant anyway
     for gg in range(gpt):
+        x_lo = x_lo_ref[gg]
+        x_hi = x_hi_ref[gg]
+        sum_lo = jnp.sum(x_lo.astype(jnp.int32), axis=1, keepdims=True)
+        sum_hi = jnp.sum(x_hi.astype(jnp.int32), axis=1, keepdims=True)
         p_lo = jax.lax.dot_general(
-            x_lo_ref[gg], w_lo[gg],
+            x_lo, w_lo[gg],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
-        ).astype(jnp.float32)
-        out_ref[:] += p_lo * xs_lo_ref[gg][:, None] * ws_lo_ref[gg][None, :]
+        )
+        out_ref[:] += ((p_lo - 8 * sum_lo).astype(jnp.float32)
+                       * xs_lo_ref[gg][:, None] * ws_lo_ref[gg][None, :])
         p_hi = jax.lax.dot_general(
-            x_hi_ref[gg], w_hi[gg],
+            x_hi, w_hi[gg],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
-        ).astype(jnp.float32)
-        out_ref[:] += p_hi * xs_hi_ref[gg][:, None] * ws_hi_ref[gg][None, :]
+        )
+        out_ref[:] += ((p_hi - 8 * sum_hi).astype(jnp.float32)
+                       * xs_hi_ref[gg][:, None] * ws_hi_ref[gg][None, :])
 
 
 def _kernel(x_lo_ref, x_hi_ref, xs_lo_ref, xs_hi_ref, wp_ref,
-            ws_lo_ref, ws_hi_ref, x_sal_ref, w_sal_t_ref, out_ref, *, gpt: int):
+            ws_lo_ref, ws_hi_ref, x_sal_ref, w_sal_t_ref, out_ref, *,
+            gpt: int, interpret: bool):
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -71,11 +96,11 @@ def _kernel(x_lo_ref, x_hi_ref, xs_lo_ref, xs_hi_ref, wp_ref,
         )
 
     _accum_halves(x_lo_ref, x_hi_ref, xs_lo_ref, xs_hi_ref, wp_ref,
-                  ws_lo_ref, ws_hi_ref, out_ref, gpt)
+                  ws_lo_ref, ws_hi_ref, out_ref, gpt, interpret)
 
 
 def _kernel_nosal(x_lo_ref, x_hi_ref, xs_lo_ref, xs_hi_ref, wp_ref,
-                  ws_lo_ref, ws_hi_ref, out_ref, *, gpt: int):
+                  ws_lo_ref, ws_hi_ref, out_ref, *, gpt: int, interpret: bool):
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -83,7 +108,7 @@ def _kernel_nosal(x_lo_ref, x_hi_ref, xs_lo_ref, xs_hi_ref, wp_ref,
         out_ref[:] = jnp.zeros_like(out_ref)
 
     _accum_halves(x_lo_ref, x_hi_ref, xs_lo_ref, xs_hi_ref, wp_ref,
-                  ws_lo_ref, ws_hi_ref, out_ref, gpt)
+                  ws_lo_ref, ws_hi_ref, out_ref, gpt, interpret)
 
 
 @functools.partial(
@@ -100,8 +125,8 @@ def int4_group_matmul(
     *,
     group_size: int,
     out_dtype=jnp.float32,
-    tile_o: int = 512,
-    tile_g: int = 8,       # byte-groups per step (processes 2x groups)
+    tile_o: Optional[int] = None,
+    tile_g: Optional[int] = None,  # byte-groups per step (processes 2x groups)
     interpret: bool = False,
 ) -> jax.Array:
     n, kk = x_q.shape
@@ -112,6 +137,13 @@ def int4_group_matmul(
     assert kk % 2 == 0 and half % group_size == 0, (
         "nibble packing needs (K/2) % group_size == 0"
     )
+    # decode-shape-tuned defaults (scripts/kernelbench.py int4_tiles on v5e):
+    # wide outputs amortize per-step overheads with big O-tiles and deep
+    # K-steps; narrow outputs need more grid steps for DMA/compute overlap
+    if tile_o is None:
+        tile_o = 2048 if o >= 8192 else 512
+    if tile_g is None:
+        tile_g = 16 if (o >= 8192 or g_total // 2 >= 48) else 8
     assert w_packed.shape == (half, o)
     assert x_scales.shape == (n, g_total)
     assert w_scales_t.shape == (g_total, o)
@@ -180,7 +212,7 @@ def int4_group_matmul(
     ]
     operands = [x3, x3, xs_t, xs_t, wp3, w_scales_t, w_scales_t]
     if k_s:  # salient dual path present
-        kernel = functools.partial(_kernel, gpt=tile_g)
+        kernel = functools.partial(_kernel, gpt=tile_g, interpret=interpret)
         in_specs += [
             pl.BlockSpec((tile_n, k_s), lambda i, j, k: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -189,7 +221,8 @@ def int4_group_matmul(
         ]
         operands += [x_sal, w_sal_t]
     else:
-        kernel = functools.partial(_kernel_nosal, gpt=tile_g)
+        kernel = functools.partial(_kernel_nosal, gpt=tile_g,
+                                   interpret=interpret)
 
     out = pl.pallas_call(
         kernel,

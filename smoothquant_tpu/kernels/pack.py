@@ -236,6 +236,72 @@ def pack_linear_row_sharded(
     )
 
 
+def unpack_nibbles_to_int8(w_qt: jax.Array) -> jax.Array:
+    """(K/2, O) split-half packed bytes (biased nibbles) → (K, O) int8."""
+    w32 = w_qt.astype(jnp.int32)
+    lo = ((w32 & 0xF) - 8).astype(jnp.int8)
+    hi = ((jnp.right_shift(w32, 4) & 0xF) - 8).astype(jnp.int8)
+    return jnp.concatenate([lo, hi], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("group_size",))
+def _promote_device(w_qt, w_scales_t, *, group_size: int):
+    k_ns = w_qt.shape[0]
+    g_total = k_ns // group_size
+    wf = (w_qt.astype(jnp.float32).reshape(g_total, group_size, -1)
+          * w_scales_t[:, None, :]).reshape(k_ns, -1)
+    absmax = jnp.max(jnp.abs(wf), axis=0, keepdims=True)      # (1, O)
+    scale = jnp.maximum(absmax, 1e-8) / 127.0
+    q8 = jnp.round(wf / scale).astype(jnp.int8)
+    return q8, scale
+
+
+def promote_int8(packed: PackedLinear) -> PackedLinear:
+    """Re-express an int4-group PackedLinear as int8 per-output-column.
+
+    The prefill-speed recipe (VERDICT r1 next-step #3): a single-group int8
+    layout turns the group-wise MXU walk into ONE full-depth int8
+    contraction with per-token x per-column output scaling — the int8 MXU's
+    2x-over-bf16 peak with no per-group VPU work.  Numerically this
+    requantizes the already-Q-DQ'd W4 weight at 8-bit per-column
+    granularity: the added error is bounded by (column absmax / 254),
+    which is at most half an int4 step of the LARGEST group in the column —
+    second-order next to the W4 error itself (tested).  Storage doubles
+    (8 vs 4 bits), so serving keeps the int4 tree for decode and promotes
+    once for prefill.  Salient block, permutation and bias are unchanged;
+    activations quantize per-token int8.
+    """
+    w_qt = packed.w_qt
+    if packed.meta.nibble:
+        w_qt = unpack_nibbles_to_int8(w_qt)
+    q8, scale = _promote_device(w_qt, packed.w_scales_t,
+                                group_size=packed.meta.group_size)
+    return PackedLinear(
+        w_qt=q8,
+        w_scales_t=scale,
+        w_sal_t=packed.w_sal_t,
+        bias=packed.bias,
+        perm=packed.perm,
+        meta=dataclasses.replace(
+            packed.meta, nibble=False, group_size=packed.meta.k_ns,
+            act_quant="per_token", act_bits=8,
+        ),
+    )
+
+
+def promote_model_int8(params):
+    """promote_int8 over every PackedLinear in a packed params pytree —
+    the prefill twin of a nibble-packed decode tree."""
+    def walk(node):
+        if isinstance(node, PackedLinear):
+            return promote_int8(node)
+        if isinstance(node, dict):
+            return {k: walk(v) for k, v in node.items()}
+        return node
+
+    return walk(params)
+
+
 def _pack_host(w, perm, *, k_ns_raw, k_ns, k_s, g, weight_quant, quant_bits,
                compute_dtype, nibble):
     """Host-side (numpy / native OpenMP) twin of _pack_device (+ nibble).
@@ -281,10 +347,15 @@ def _pack_host(w, perm, *, k_ns_raw, k_ns, k_s, g, weight_quant, quant_bits,
 
 @jax.jit
 def _nibble_pack_device(w_qt: jax.Array) -> jax.Array:
-    """(K, O) int8 int4-range → (K/2, O) split-half packed bytes (device)."""
+    """(K, O) int8 int4-range → (K/2, O) split-half packed bytes (device).
+
+    Nibbles are stored BIASED by +8 (v in [-8,7] → v+8 in [0,15]) so the
+    matmul kernel unpacks 8 weights per 32-bit word with two mask ops and
+    folds the bias out of the int32 accumulator as -8*sum(x) per group.
+    """
     k = w_qt.shape[0]
-    lo = w_qt[: k // 2].astype(jnp.uint8) & 0x0F
-    hi = (w_qt[k // 2 :].astype(jnp.uint8) & 0x0F) << 4
+    lo = (w_qt[: k // 2].astype(jnp.int32) + 8).astype(jnp.uint8) & 0x0F
+    hi = ((w_qt[k // 2 :].astype(jnp.int32) + 8).astype(jnp.uint8) & 0x0F) << 4
     return (lo | hi).astype(jnp.int8)
 
 

@@ -25,8 +25,27 @@ from smoothquant_tpu.kernels.quant_matmul import dual_path_matmul
 from smoothquant_tpu.quant.config import QuantConfig
 
 # below this many tokens the int8-MXU output-scaled kernel wins (memory
-# bound); above it the dequant kernel's full-depth MXU contractions win
+# bound); above it the dequant kernel's full-depth MXU contractions win.
+# The default is overridden by kernels/tuned.json, written by
+# scripts/autotune.py from measurements on the actual chip.
 _INT_PATH_MAX_TOKENS = 256
+_TUNED_LOADED = False
+
+
+def int_path_max_tokens() -> int:
+    global _INT_PATH_MAX_TOKENS, _TUNED_LOADED
+    if not _TUNED_LOADED:
+        _TUNED_LOADED = True
+        import json
+        import os
+
+        path = os.path.join(os.path.dirname(__file__), "tuned.json")
+        try:
+            with open(path) as f:
+                _INT_PATH_MAX_TOKENS = int(json.load(f)["int_path_max_tokens"])
+        except (OSError, KeyError, ValueError):
+            pass
+    return _INT_PATH_MAX_TOKENS
 
 
 def _int_path_supported(meta) -> bool:
@@ -66,8 +85,15 @@ def real_quant_linear(
     if meta.nibble:
         compute = "int"  # nibble storage is only consumable by the int path
     elif compute == "auto":
-        compute = ("int" if n_tokens <= _INT_PATH_MAX_TOKENS
-                   and _int_path_supported(meta) else "dequant")
+        if not _int_path_supported(meta):
+            compute = "dequant"
+        elif meta.group_size >= meta.k_ns:
+            # single-group (per-channel / promoted-int8) recipes run ONE
+            # full-depth int8 contraction — int wins at every token count
+            compute = "int"
+        else:
+            compute = ("int" if n_tokens <= int_path_max_tokens()
+                       else "dequant")
     if compute == "int" and not _int_path_supported(meta):
         raise ValueError("int compute path unsupported for this recipe")
 

@@ -361,10 +361,15 @@ def cached_attention(
 
     mode = ctx.attn if ctx is not None else "auto"
     interpret = bool(ctx is not None and ctx.interpret)
+    # auto: the fused kernel wins where it avoids HBM round-trips — the int8
+    # cache, whose einsum path materializes a dequantized bf16 copy (measured
+    # 1.3x on-chip); for bf16 caches XLA's einsum is already at bandwidth, so
+    # auto keeps it and "kernel" remains an explicit override
     use_kernel = (
         mode != "einsum"
         and sq == 1
         and da.supported(s, nh, n_kv, d)
+        and (mode == "kernel" or quant)
         and (mode == "kernel" or interpret or jax.default_backend() == "tpu")
     )
     if use_kernel:

@@ -49,8 +49,10 @@ class ContinuousBatcher:
     def __init__(self, model_mod, params, cfg, quant=None, *,
                  max_batch: int = 4, max_len: int = 512, kv_dtype=None,
                  quant_kv: bool = False, compute: str = "auto",
-                 interpret: bool = False):
+                 interpret: bool = False, prefill_params=None):
         self.mod, self.params, self.cfg = model_mod, params, cfg
+        # optional prefill-optimized params twin (promote_model_int8)
+        self.prefill_params = params if prefill_params is None else prefill_params
         self.ctx = ForwardContext(quant=quant, compute=compute,
                                   interpret=interpret)
         self.max_batch, self.max_len = max_batch, max_len
@@ -118,7 +120,8 @@ class ContinuousBatcher:
                 params, tok[:, None], cfg, ctx=self.ctx, caches=caches,
                 positions=positions[:, None], attn_mask=key_valid,
             )
-            return logits[:, -1, :], caches
+            # greedy pick on device: only (B,) ints cross the host boundary
+            return jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32), caches
 
         self._prefill, self._scatter, self._decode = _prefill, _scatter, _decode
 
@@ -138,7 +141,8 @@ class ContinuousBatcher:
             s_pad = _bucket(s_true)
             ids = np.zeros((1, s_pad), np.int32)
             ids[0, :s_true] = req.prompt
-            logits, kv_rows = self._prefill(self.params, jnp.asarray(ids))
+            logits, kv_rows = self._prefill(self.prefill_params,
+                                            jnp.asarray(ids))
             # cache pos resumes at the TRUE length: bucket-pad rows are never
             # attended to (key_valid masks them) and decode overwrites them
             # one token at a time, so padding consumes no cache capacity
@@ -177,19 +181,18 @@ class ContinuousBatcher:
         for s in active:
             self.key_valid[s, cache_pos[s]] = True
 
-        logits, self.caches = self._decode(
+        next_tok, self.caches = self._decode(
             self.params, jnp.asarray(tok), self.caches,
             jnp.asarray(self.seq_pos), jnp.asarray(self.key_valid),
         )
         self._steps += 1
-        logits_np = np.asarray(logits)
+        next_np = np.asarray(next_tok)
 
         finished = []
         for s in active:
             self.seq_pos[s] += 1
-            nxt = int(np.argmax(logits_np[s]))
             req = self.slot_req[s]
-            self._emit(s, nxt)
+            self._emit(s, int(next_np[s]))
             if req.done:
                 finished.append(req)
         return finished

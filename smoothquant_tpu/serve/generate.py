@@ -9,6 +9,7 @@ device_put with parallel.param_specs before building the engine).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import jax
@@ -42,9 +43,16 @@ class Generator:
 
     def __init__(self, model_mod, params, cfg, quant=None,
                  kv_dtype=None, max_len: int = 2048, quant_kv: bool = False,
-                 compute: str = "auto", interpret: bool = False):
+                 compute: str = "auto", interpret: bool = False,
+                 prefill_params=None):
+        """prefill_params: optional second params tree used ONLY for prompt
+        prefill — e.g. kernels.pack.promote_model_int8(params), whose
+        single-group int8 layout runs full-depth int8 MXU contractions
+        (prefill-optimal) while decode keeps the 4-bit nibble tree
+        (bandwidth-optimal)."""
         self.mod = model_mod
         self.params = params
+        self.prefill_params = params if prefill_params is None else prefill_params
         self.cfg = cfg
         self.ctx = ForwardContext(quant=quant, compute=compute,
                                   interpret=interpret)
@@ -54,17 +62,22 @@ class Generator:
         n_kv = getattr(cfg, "num_key_value_heads", cfg.num_attention_heads)
         self._n_kv = n_kv
 
-        @jax.jit
-        def _prefill(params, ids, caches):
+        @functools.partial(jax.jit, static_argnames=("temperature",))
+        def _prefill(params, ids, caches, key, temperature):
             logits, caches = self.mod.forward(params, ids, self.cfg,
                                               ctx=self.ctx, caches=caches)
-            return logits[:, -1, :], caches
+            nxt = sample_token(logits[:, -1, :], temperature, key)
+            return nxt, caches
 
-        @jax.jit
-        def _decode(params, tok, caches):
+        # sampling happens ON DEVICE and only the (B,) token ids cross the
+        # host boundary per step — fetching (B, V) float logits every token
+        # was the serving loop's dominant host<->device traffic
+        @functools.partial(jax.jit, static_argnames=("temperature",))
+        def _decode(params, tok, caches, key, temperature):
             logits, caches = self.mod.forward(params, tok[:, None], self.cfg,
                                               ctx=self.ctx, caches=caches)
-            return logits[:, -1, :], caches
+            nxt = sample_token(logits[:, -1, :], temperature, key)
+            return nxt, caches
 
         self._prefill, self._decode = _prefill, _decode
 
@@ -87,18 +100,22 @@ class Generator:
         caches = self._new_caches(b)
         key = jax.random.PRNGKey(gen.seed)
 
-        logits, caches = self._prefill(self.params, jnp.asarray(prompt_ids), caches)
+        key, sub = jax.random.split(key)
+        tok, caches = self._prefill(self.prefill_params,
+                                    jnp.asarray(prompt_ids), caches, sub,
+                                    gen.temperature)
         out = [prompt_ids]
         done = np.zeros(b, bool)
-        for _ in range(gen.max_new_tokens):
-            key, sub = jax.random.split(key)
-            tok = sample_token(logits, gen.temperature, sub)
+        for step in range(gen.max_new_tokens):
             tok_np = np.asarray(tok)
             if gen.eos_token_id is not None:
                 tok_np = np.where(done, gen.eos_token_id, tok_np)
                 done |= tok_np == gen.eos_token_id
             out.append(tok_np[:, None])
-            if gen.eos_token_id is not None and done.all():
+            if step + 1 == gen.max_new_tokens or (
+                    gen.eos_token_id is not None and done.all()):
                 break
-            logits, caches = self._decode(self.params, jnp.asarray(tok_np), caches)
+            key, sub = jax.random.split(key)
+            tok, caches = self._decode(self.params, jnp.asarray(tok_np),
+                                       caches, sub, gen.temperature)
         return np.concatenate(out, axis=1)

@@ -104,14 +104,15 @@ def group_quant(w: np.ndarray, group: int, n_bits: int) -> tuple[np.ndarray, np.
 
 
 def pack_nibbles_split(qt: np.ndarray) -> np.ndarray:
-    """(K, O) int8 int4-range → (K/2, O) packed bytes (split-half layout)."""
+    """(K, O) int8 int4-range → (K/2, O) packed bytes (split-half layout,
+    nibbles stored biased by +8 — see csrc/packlib.cpp)."""
     qt = np.ascontiguousarray(qt, np.int8)
     k, o = qt.shape
     assert k % 2 == 0
     lib = _lib()
     if lib is None:
-        lo = qt[: k // 2].astype(np.uint8) & 0x0F
-        hi = (qt[k // 2 :].astype(np.uint8) & 0x0F) << 4
+        lo = (qt[: k // 2].astype(np.int16) + 8).astype(np.uint8) & 0x0F
+        hi = ((qt[k // 2 :].astype(np.int16) + 8).astype(np.uint8) & 0x0F) << 4
         return (lo | hi).astype(np.int8)
     out = np.empty((k // 2, o), np.int8)
     lib.pack_nibbles_split(_ip8(qt), k, o, _ip8(out))

@@ -36,11 +36,32 @@ def test_pack_nibbles_split_roundtrip(rng):
     qt = rng.integers(-8, 8, size=(128, 64)).astype(np.int8)
     packed = native.pack_nibbles_split(qt)
     assert packed.shape == (64, 64)
-    # unpack with arithmetic-shift sign extension
-    lo = ((packed.astype(np.int8) << 4).astype(np.int8) >> 4).astype(np.int8)
-    hi = (packed.astype(np.int8) >> 4).astype(np.int8)
+    # nibbles are stored biased by +8 (kernel unbias rides the accumulator)
+    lo = ((packed.astype(np.int16) & 0xF) - 8).astype(np.int8)
+    hi = (((packed.astype(np.int16) >> 4) & 0xF) - 8).astype(np.int8)
     np.testing.assert_array_equal(lo, qt[:64])
     np.testing.assert_array_equal(hi, qt[64:])
+
+
+def test_pack_nibbles_native_matches_fallback(rng):
+    qt = rng.integers(-8, 8, size=(64, 32)).astype(np.int8)
+    native_out = native.pack_nibbles_split(qt)
+    lo = (qt[:32].astype(np.int16) + 8).astype(np.uint8) & 0x0F
+    hi = ((qt[32:].astype(np.int16) + 8).astype(np.uint8) & 0x0F) << 4
+    np.testing.assert_array_equal(native_out, (lo | hi).astype(np.int8))
+
+
+def test_pack_nibbles_matches_device_pack(rng):
+    from smoothquant_tpu.kernels.pack import (
+        _nibble_pack_device,
+        unpack_nibbles_to_int8,
+    )
+
+    qt = rng.integers(-7, 8, size=(96, 16)).astype(np.int8)
+    dev = np.asarray(_nibble_pack_device(jnp.asarray(qt)))
+    np.testing.assert_array_equal(dev, native.pack_nibbles_split(qt))
+    np.testing.assert_array_equal(
+        np.asarray(unpack_nibbles_to_int8(jnp.asarray(dev))), qt)
 
 
 def test_transpose(rng):

@@ -58,6 +58,23 @@ def test_generator_quant_kv_close_to_fp_cache(tiny_llama):
     assert agree >= 0.6, (out_fp, out_q)
 
 
+def test_stacked_quant_kv_matches_per_layer(tiny_llama):
+    cfg, params = tiny_llama
+    rng = np.random.default_rng(4)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(2, 5)))
+    caches = [QuantKVCache.create(2, 8, cfg.num_key_value_heads, cfg.head_dim)
+              for _ in range(cfg.num_hidden_layers)]
+    scache = jllama.stacked_caches(cfg, 2, 8, jnp.float32, quant_kv=True)
+    stacked = jllama.stack_layers(params, cfg)
+    ref, ref_caches = jllama.forward(params, ids, cfg, caches=caches)
+    got, got_caches = jllama.forward(stacked, ids, cfg, caches=scache)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+    for i, rc in enumerate(ref_caches):
+        np.testing.assert_array_equal(np.asarray(got_caches.k_q[i]),
+                                      np.asarray(rc.k_q))
+
+
 def test_batcher_quant_kv_runs(tiny_llama):
     cfg, params = tiny_llama
     rng = np.random.default_rng(3)
