@@ -119,17 +119,34 @@ def main() -> None:
     cfg = cfg_at(FULL_LAYERS)
     key = jax.random.PRNGKey(2)
     _log("building + packing full-depth model (layer by layer)")
+    def fuse(*lins):
+        return {"weight": jnp.concatenate([l["weight"] for l in lins], 0),
+                "bias": None}
+
+    def pk(lin, imp):
+        # tile-aligned packs: required by the prefetch-scan kernels
+        return pack_linear(lin, qcfg, importance=imp, nibble=True,
+                           align_k_groups=8, align_o=1024)
+
+    h_dim, i_dim = cfg_at(1).hidden_size, cfg_at(1).intermediate_size
     layers = {}
     for i in range(cfg.num_hidden_layers):
         lp = llama.init_layer_params(jax.random.fold_in(key, i), cfg)
-        for group, names in (("self_attn", llama.ATTN_PROJS),
-                             ("mlp", llama.MLP_PROJS)):
-            for nm in names:
-                lin = lp[group][nm]
-                c_in = lin["weight"].shape[1]
-                imp = rng.uniform(0.1, 1.0, size=(c_in,))
-                lp[group][nm] = pack_linear(lin, qcfg, importance=imp,
-                                            nibble=True)
+        sa, mlp = lp["self_attn"], lp["mlp"]
+        # fused q/k/v and gate/up: one kernel launch + one activation
+        # permute/quantize chain per fusion (inputs — and so calibration
+        # stats and packing layout — are shared)
+        lp["self_attn"] = {
+            "qkv_proj": pk(fuse(sa["q_proj"], sa["k_proj"], sa["v_proj"]),
+                           rng.uniform(0.1, 1.0, size=(h_dim,))),
+            "o_proj": pk(sa["o_proj"], rng.uniform(0.1, 1.0, size=(h_dim,))),
+        }
+        lp["mlp"] = {
+            "gate_up_proj": pk(fuse(mlp["gate_proj"], mlp["up_proj"]),
+                               rng.uniform(0.1, 1.0, size=(h_dim,))),
+            "down_proj": pk(mlp["down_proj"],
+                            rng.uniform(0.1, 1.0, size=(i_dim,))),
+        }
         layers[str(i)] = lp
         if i % 8 == 7:
             _log(f"  packed {i + 1}/{cfg.num_hidden_layers} layers")
@@ -148,8 +165,12 @@ def main() -> None:
     gc.collect()
     _log("packed model ready; timing quant decode (compiles on first run)")
 
+    # INT8 KV cache: half the cache read, consumed in-place by the stacked
+    # flash-decode kernel.  The stacked packed params + stacked cache trigger
+    # the prefetch-scan path (weights stay loop-invariant; scalar-prefetch
+    # kernels stream only layer i — no scan slice copies).
     caches = llama.stacked_caches(cfg, BATCH, CACHE, jnp.bfloat16,
-                                  pos=CACHE - 64)
+                                  pos=CACHE - 64, quant_kv=True)
     ctx = ForwardContext(quant=qcfg, compute="int", interpret=_TINY)
     t_q = time_steps(make_step(cfg, ctx), (tok, packed, caches), iters=16)
     _log(f"quant decode {t_q*1e3:.2f} ms/step at {FULL_LAYERS} layers")
@@ -162,7 +183,8 @@ def main() -> None:
     weight_bytes = sum(
         l.nbytes for l in jax.tree.leaves(
             {k: v for k, v in packed.items() if k != "embed_tokens"}))
-    kv_bytes = caches.k.nbytes + caches.v.nbytes
+    kv_bytes = (caches.k_q.nbytes + caches.v_q.nbytes
+                + caches.k_scale.nbytes + caches.v_scale.nbytes)
     total_bytes = weight_bytes + kv_bytes
     chip = roofline.detect_chip()
     achieved_bw = total_bytes / t_q
@@ -177,7 +199,8 @@ def main() -> None:
 
     print(json.dumps({
         "metric": ("llama2-7B-dim W4A4 g64 5%-salient nibble-packed decode "
-                   "throughput (full 32-layer depth)"),
+                   "throughput (full 32-layer depth, int8 KV, fused "
+                   "flash-decode attention, prefetch-scan kernels)"),
         "value": round(tokens_per_s, 1),
         "unit": "tokens/s/chip",
         "vs_baseline": round(vs_baseline, 4),

@@ -190,7 +190,8 @@ def main(which):
 
         batch, cache_len = 4, 512
 
-        def build(depth, attn_mode, stacked=True):
+        def build(depth, attn_mode, stacked=True, quant_kv=False,
+                  aligned=True):
             cfg = dataclasses.replace(
                 llama.LlamaConfig.llama2_7b(), num_hidden_layers=depth,
                 vocab_size=2048, tie_word_embeddings=True)
@@ -203,8 +204,10 @@ def main(which):
                     for nm in names:
                         lin = lp[grp][nm]
                         imp = rng.uniform(0.1, 1.0, size=(lin["weight"].shape[1],))
+                        kw = (dict(align_k_groups=8, align_o=1024)
+                              if aligned else {})
                         lp[grp][nm] = pack_linear(lin, qcfg, importance=imp,
-                                                  nibble=True)
+                                                  nibble=True, **kw)
                 layers[str(i)] = lp
             h = cfg.hidden_size
             params = {
@@ -217,7 +220,8 @@ def main(which):
             if stacked:
                 params = llama.stack_layers(params, cfg)
                 caches = llama.stacked_caches(cfg, batch, cache_len,
-                                              jnp.bfloat16, pos=cache_len - 64)
+                                              jnp.bfloat16, pos=cache_len - 64,
+                                              quant_kv=quant_kv)
             else:
                 from smoothquant_tpu.models.common import KVCache
                 caches = [KVCache.create(batch, cache_len,
@@ -239,18 +243,23 @@ def main(which):
 
         lw = (4 * 4096 * 4096 + 3 * 4096 * 11008) // 2
         if "layer_decode" in which:
-            for attn_mode in ("einsum", "kernel"):
+            # aligned pack + auto attn → the prefetch-scan path; quant_kv
+            # adds the int8 cache + stacked flash kernel
+            for variant, kw in (("prefetch_bf16kv", dict(quant_kv=False)),
+                                ("prefetch_int8kv", dict(quant_kv=True)),
+                                ("oldscan_bf16kv",
+                                 dict(quant_kv=False, aligned=False))):
                 ts = {}
                 for depth in (4, 8):
-                    _log(f"layer_decode depth {depth} attn={attn_mode}")
-                    step, args = build(depth, attn_mode)
+                    _log(f"layer_decode depth {depth} {variant}")
+                    step, args = build(depth, "auto", **kw)
                     ts[depth] = time_steps(jax.jit(step), args, iters=64,
                                            repeats=5)
                     emit("layer_decode", (depth, cache_len),
-                         f"stacked_{attn_mode}", ts[depth], 0)
+                         f"{variant}", ts[depth], 0)
                 per_layer = (ts[8] - ts[4]) / 4
                 emit("layer_decode", (1, cache_len),
-                     f"per_layer_{attn_mode}", per_layer, lw)
+                     f"per_layer_{variant}", per_layer, lw)
 
         if "layer_decode_unrolled" in which:
             # hypothesis check: lax.scan must COPY each layer's packed
@@ -301,6 +310,62 @@ def main(which):
                         print(json.dumps({"exp": "int4_tiles",
                                           "variant": f"o{tile_o}_g{tile_g}",
                                           "error": str(e)[:120]}), flush=True)
+
+    if "glue" in which:
+        # XLA glue costs at decode shapes: the per-linear activation
+        # permutation gather, act quantization, rotary
+        from smoothquant_tpu.quant.core import compute_scale
+        for n in (4, 1024):
+            x = jnp.asarray(rng.standard_normal((n, 4096)), jnp.bfloat16)
+            perm = jnp.asarray(rng.permutation(4096).astype(np.int32))
+
+            t = time_steps(jax.jit(lambda x_, p_=perm: jnp.take(x_, p_, axis=-1)),
+                           (x,), iters=256, repeats=5)
+            emit("glue", (n, 4096), "perm_gather", t, n * 4096 * 2)
+
+            def actq(x_):
+                xf = x_.astype(jnp.float32)
+                s = compute_scale(jnp.max(jnp.abs(xf), -1, keepdims=True), 8)
+                return jnp.round(xf / s).astype(jnp.int8), s
+
+            t = time_steps(jax.jit(actq), (x,), iters=256, repeats=5)
+            emit("glue", (n, 4096), "act_quant_pertoken", t, n * 4096 * 2)
+
+            xg = x.reshape(n, 64, 64)
+
+            def actq_g(x_):
+                xf = x_.astype(jnp.float32).reshape(n, 64, 64)
+                s = compute_scale(jnp.max(jnp.abs(xf), -1, keepdims=True), 4)
+                return jnp.round(xf / s).astype(jnp.int8), s
+
+            t = time_steps(jax.jit(actq_g), (x,), iters=256, repeats=5)
+            emit("glue", (n, 4096), "act_quant_pergroup", t, n * 4096 * 2)
+
+    if "lm_head" in which:
+        # the decode step's single largest weight stream: int8 per-channel
+        # lm_head (K=4096, O=32000) — kernel vs promoted-identity XLA path
+        from smoothquant_tpu.kernels.pack import pack_linear, promote_int8
+        from smoothquant_tpu.quant import QuantConfig
+        k, o = 4096, 32000
+        head_qcfg = QuantConfig(weight_quant="per_channel",
+                                act_quant="per_token", quant_bits=8)
+        w = (rng.standard_normal((o, k)) * 0.02).astype(np.float32)
+        p = pack_linear({"weight": jnp.asarray(w, jnp.bfloat16),
+                         "bias": None}, head_qcfg)
+        wb = p.w_qt.nbytes
+        t = bench_linear(p, DECODE_N, "int")
+        emit("lm_head", (k, o), "int_group_perchan", t, wb)
+        p8 = promote_int8(p)
+        t = bench_linear(p8, DECODE_N, "auto")
+        emit("lm_head", (k, o), "identity_xla", t, p8.w_qt.nbytes)
+        wbf = jnp.asarray(rng.standard_normal((k, o)) * 0.02, jnp.bfloat16)
+        x = jnp.asarray(rng.standard_normal((DECODE_N, k)), jnp.bfloat16)
+        # weight must be a jit ARG, not a closure constant (constant-folding)
+        t = time_steps(jax.jit(
+            lambda x_, w_: jnp.dot(x_, w_,
+                                   preferred_element_type=jnp.float32)),
+            (x, wbf), iters=256, repeats=5)
+        emit("lm_head", (k, o), "bf16_xla", t, k * o * 2)
 
     if "packing" in which:
         # cold-start ingestion: host-side native pack (+ transfer of packed

@@ -100,6 +100,119 @@ def _kernel_int8(q_ref, k_ref, v_ref, bias_ref, ks_ref, vs_ref, o_ref,
     )
 
 
+def _kernel_fp_stacked(idx_ref, q_ref, k_ref, v_ref, bias_ref, o_ref,
+                       m_ref, l_ref, acc_ref, *, sm_scale: float):
+    del idx_ref
+    st = pl.program_id(2)
+    n_st = pl.num_programs(2)
+    _flash_tile(
+        q_ref[0, 0], k_ref[0, 0, 0], v_ref[0, 0, 0], bias_ref[0, 0],
+        None, None, sm_scale, m_ref, l_ref, acc_ref,
+        st == 0, st == n_st - 1, o_ref,
+    )
+
+
+def _kernel_int8_stacked(idx_ref, q_ref, k_ref, v_ref, bias_ref, ks_ref,
+                         vs_ref, o_ref, m_ref, l_ref, acc_ref, *,
+                         sm_scale: float):
+    del idx_ref
+    st = pl.program_id(2)
+    n_st = pl.num_programs(2)
+    _flash_tile(
+        q_ref[0, 0], k_ref[0, 0, 0].astype(jnp.bfloat16),
+        v_ref[0, 0, 0].astype(jnp.bfloat16),
+        bias_ref[0, 0], ks_ref[0, 0, 0, 0], vs_ref[0, 0, 0, 0],
+        sm_scale, m_ref, l_ref, acc_ref, st == 0, st == n_st - 1, o_ref,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("sm_scale", "interpret"))
+def decode_attention_stacked(
+    layer_idx: jax.Array,              # (1,) int32
+    q: jax.Array,                      # (B, H, D) — this layer's queries
+    k: jax.Array,                      # (L, B, H_kv, S, D) — ALL layers
+    v: jax.Array,
+    bias: jax.Array,                   # (B, S) f32 — this layer's mask bias
+    k_scale: Optional[jax.Array] = None,   # (L, B, H_kv, S) when k is int8
+    v_scale: Optional[jax.Array] = None,
+    *,
+    sm_scale: Optional[float] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Layer-stacked twin of decode_attention for lax.scan decode: the full
+    stacked KV cache rides as a loop-invariant operand and scalar-prefetch
+    index maps stream only layer `layer_idx`'s tiles (a scan-xs cache would
+    be slice-copied AND fully written back every layer)."""
+    b, h, d = q.shape
+    l_num, _, n_kv, s, _ = k.shape
+    rep = h // n_kv
+    ts = _pick_tile_s(s)
+    assert ts is not None, f"cache length {s} not tileable"
+    if sm_scale is None:
+        sm_scale = 1.0 / (d ** 0.5)
+
+    rp = _ceil_to(rep, 8)
+    q4 = q.reshape(b, n_kv, rep, d)
+    if rp != rep:
+        q4 = jnp.pad(q4, ((0, 0), (0, 0), (0, rp - rep), (0, 0)))
+
+    grid = (b, n_kv, s // ts)
+    q_spec = pl.BlockSpec((1, 1, rp, d), lambda bb, hh, st, i: (bb, hh, 0, 0),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, 1, 1, ts, d),
+                           lambda bb, hh, st, i: (i[0], bb, hh, st, 0),
+                           memory_space=pltpu.VMEM)
+    bias4 = bias.reshape(b, s // ts, 1, ts)
+    bias_spec = pl.BlockSpec((1, 1, 1, ts),
+                             lambda bb, hh, st, i: (bb, st, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, 1, rp, d), lambda bb, hh, st, i: (bb, hh, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    if k_scale is not None:
+        ks6 = k_scale.reshape(l_num, b, n_kv, s // ts, 1, ts)
+        vs6 = v_scale.reshape(l_num, b, n_kv, s // ts, 1, ts)
+        sc_spec = pl.BlockSpec(
+            (1, 1, 1, 1, 1, ts),
+            lambda bb, hh, st, i: (i[0], bb, hh, st, 0, 0),
+            memory_space=pltpu.VMEM)
+        kernel = functools.partial(_kernel_int8_stacked, sm_scale=sm_scale)
+        in_specs = [q_spec, kv_spec, kv_spec, bias_spec, sc_spec, sc_spec]
+        operands = (q4, k, v, bias4, ks6, vs6)
+    else:
+        kernel = functools.partial(_kernel_fp_stacked, sm_scale=sm_scale)
+        in_specs = [q_spec, kv_spec, kv_spec, bias_spec]
+        operands = (q4, k, v, bias4)
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_spec,
+            scratch_shapes=[
+                pltpu.VMEM((rp, 128), jnp.float32),
+                pltpu.VMEM((rp, 128), jnp.float32),
+                pltpu.VMEM((rp, d), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n_kv, rp, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * s * d,
+            bytes_accessed=(2 * b * n_kv * s * d * k.dtype.itemsize
+                            + b * h * d * 2 * 2),
+            transcendentals=b * h * s,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(layer_idx, jnp.int32).reshape(1), *operands)
+
+    return out[:, :, :rep].reshape(b, h, d)
+
+
 def _pick_tile_s(s: int) -> Optional[int]:
     for ts in (512, 256, 128):
         if s % ts == 0:

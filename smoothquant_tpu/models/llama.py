@@ -27,6 +27,7 @@ from smoothquant_tpu.models.common import (
     attention,
     cached_attention,
     call_linear,
+    maybe_quantize_output,
     rms_norm,
     rotary_cos_sin,
     to_head_major,
@@ -176,9 +177,18 @@ def _decoder_layer(
     sa = lp["self_attn"]
     # q/k/v outputs optionally quantized to simulate quantized BMM inputs
     # (quantize_bmm_input; fake_quant.py:517-550).
-    q = call_linear(sa["q_proj"], hidden, f"{layer_name}.self_attn.q_proj", ctx, True)
-    k = call_linear(sa["k_proj"], hidden, f"{layer_name}.self_attn.k_proj", ctx, True)
-    v = call_linear(sa["v_proj"], hidden, f"{layer_name}.self_attn.v_proj", ctx, True)
+    if "qkv_proj" in sa:  # fused projection (fuse_projections)
+        qkv = call_linear(sa["qkv_proj"], hidden,
+                          f"{layer_name}.self_attn.qkv_proj", ctx)
+        q_dim, kv_dim = nh * d, n_kv * d
+        q = qkv[..., :q_dim]
+        k = qkv[..., q_dim:q_dim + kv_dim]
+        v = qkv[..., q_dim + kv_dim:]
+        q, k, v = (maybe_quantize_output(t, ctx) for t in (q, k, v))
+    else:
+        q = call_linear(sa["q_proj"], hidden, f"{layer_name}.self_attn.q_proj", ctx, True)
+        k = call_linear(sa["k_proj"], hidden, f"{layer_name}.self_attn.k_proj", ctx, True)
+        v = call_linear(sa["v_proj"], hidden, f"{layer_name}.self_attn.v_proj", ctx, True)
     q = q.reshape(b, s, nh, d)
     k = k.reshape(b, s, n_kv, d)
     v = v.reshape(b, s, n_kv, d)
@@ -199,8 +209,14 @@ def _decoder_layer(
     residual = x
     hidden = rms_norm(lp["post_attention_layernorm"], x, cfg.rms_norm_eps)
     mlp = lp["mlp"]
-    gate = call_linear(mlp["gate_proj"], hidden, f"{layer_name}.mlp.gate_proj", ctx)
-    up = call_linear(mlp["up_proj"], hidden, f"{layer_name}.mlp.up_proj", ctx)
+    if "gate_up_proj" in mlp:  # fused projection (fuse_projections)
+        gu = call_linear(mlp["gate_up_proj"], hidden,
+                         f"{layer_name}.mlp.gate_up_proj", ctx)
+        inter = gu.shape[-1] // 2
+        gate, up = gu[..., :inter], gu[..., inter:]
+    else:
+        gate = call_linear(mlp["gate_proj"], hidden, f"{layer_name}.mlp.gate_proj", ctx)
+        up = call_linear(mlp["up_proj"], hidden, f"{layer_name}.mlp.up_proj", ctx)
     down = call_linear(
         mlp["down_proj"], jax.nn.silu(gate) * up, f"{layer_name}.mlp.down_proj", ctx
     )
@@ -247,6 +263,157 @@ def stacked_caches(cfg: LlamaConfig, batch: int, max_len: int, dtype,
                    pos=poss)
 
 
+def _prefetch_scan_decode(params, x, cfg, ctx, caches, cos, sin, attn_mask):
+    """Single-token decode over stacked PACKED layers without scan-slice
+    copies: weights and the KV cache stay loop-invariant / carried whole,
+    and the scalar-prefetch kernels (int4_group_matmul_stacked,
+    decode_attention_stacked) stream only layer i's blocks.  The naive
+    stacked scan dynamic-slices ~every packed byte into each pallas_call
+    operand — measured at ~2x the per-layer decode cost.
+    """
+    from smoothquant_tpu.kernels import decode_attention as da
+    from smoothquant_tpu.models.common import QuantKVCache
+
+    stacked = params["layers"]["stacked"]
+    b, s, h = x.shape
+    nh, n_kv, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    quant_cache = isinstance(caches, QuantKVCache)
+    s_max = (caches.k_q if quant_cache else caches.k).shape[3]
+
+    def norm_at(node, i):
+        return {"weight": node["weight"][i]}
+
+    def body(carry, i):
+        x, cache = carry
+        sa, mlp = stacked["self_attn"], stacked["mlp"]
+        residual = x
+        hidden = rms_norm(norm_at(stacked["input_layernorm"], i), x,
+                          cfg.rms_norm_eps)
+        nm = "model.layers.scan"
+        if "qkv_proj" in sa:  # fused: one kernel launch + one permute chain
+            qkv = call_linear(sa["qkv_proj"], hidden, f"{nm}.qkv", ctx,
+                              layer_idx=i)
+            q_dim, kv_dim = nh * d, n_kv * d
+            q = qkv[..., :q_dim]
+            k = qkv[..., q_dim:q_dim + kv_dim]
+            v = qkv[..., q_dim + kv_dim:]
+            q, k, v = (maybe_quantize_output(t, ctx) for t in (q, k, v))
+        else:
+            q = call_linear(sa["q_proj"], hidden, f"{nm}.q", ctx, True,
+                            layer_idx=i)
+            k = call_linear(sa["k_proj"], hidden, f"{nm}.k", ctx, True,
+                            layer_idx=i)
+            v = call_linear(sa["v_proj"], hidden, f"{nm}.v", ctx, True,
+                            layer_idx=i)
+        q = apply_rotary(q.reshape(b, s, nh, d), cos, sin)
+        k = apply_rotary(k.reshape(b, s, n_kv, d), cos, sin)
+        v = v.reshape(b, s, n_kv, d)
+
+        pos_i = cache.pos[i]          # scalar (aligned decode)
+        k_new = k.transpose(0, 2, 1, 3)   # (B, n_kv, 1, D)
+        v_new = v.transpose(0, 2, 1, 3)
+        if quant_cache:
+            kq, ks = QuantKVCache._quantize(k_new)
+            vq, vs = QuantKVCache._quantize(v_new)
+            cache = cache._replace(
+                k_q=jax.lax.dynamic_update_slice(
+                    cache.k_q, kq[None], (i, 0, 0, pos_i, 0)),
+                v_q=jax.lax.dynamic_update_slice(
+                    cache.v_q, vq[None], (i, 0, 0, pos_i, 0)),
+                k_scale=jax.lax.dynamic_update_slice(
+                    cache.k_scale, ks[None], (i, 0, 0, pos_i)),
+                v_scale=jax.lax.dynamic_update_slice(
+                    cache.v_scale, vs[None], (i, 0, 0, pos_i)),
+            )
+        else:
+            dt = cache.k.dtype
+            cache = cache._replace(
+                k=jax.lax.dynamic_update_slice(
+                    cache.k, k_new[None].astype(dt), (i, 0, 0, pos_i, 0)),
+                v=jax.lax.dynamic_update_slice(
+                    cache.v, v_new[None].astype(dt), (i, 0, 0, pos_i, 0)),
+            )
+
+        valid = pos_i + 1
+        col = jax.lax.broadcasted_iota(jnp.int32, (b, s_max), 1)
+        ok = col < valid
+        if attn_mask is not None:
+            ok = jnp.logical_and(ok, attn_mask.astype(bool))
+        bias = jnp.where(ok, 0.0, da.NEG_INF).astype(jnp.float32)
+        idx = jnp.asarray(i, jnp.int32).reshape(1)
+        interp = bool(ctx is not None and ctx.interpret)
+        if quant_cache:
+            a = da.decode_attention_stacked(
+                idx, q[:, 0], cache.k_q, cache.v_q, bias,
+                cache.k_scale, cache.v_scale, interpret=interp)
+        else:
+            a = da.decode_attention_stacked(
+                idx, q[:, 0], cache.k, cache.v, bias, interpret=interp)
+        a = a[:, None].reshape(b, s, nh * d)
+        x = residual + call_linear(sa["o_proj"], a, f"{nm}.o", ctx,
+                                   layer_idx=i)
+
+        residual = x
+        hidden = rms_norm(norm_at(stacked["post_attention_layernorm"], i), x,
+                          cfg.rms_norm_eps)
+        if "gate_up_proj" in mlp:
+            gu = call_linear(mlp["gate_up_proj"], hidden, f"{nm}.gu", ctx,
+                             layer_idx=i)
+            inter = gu.shape[-1] // 2
+            gate, up = gu[..., :inter], gu[..., inter:]
+        else:
+            gate = call_linear(mlp["gate_proj"], hidden, f"{nm}.g", ctx,
+                               layer_idx=i)
+            up = call_linear(mlp["up_proj"], hidden, f"{nm}.u", ctx,
+                             layer_idx=i)
+        down = call_linear(mlp["down_proj"], jax.nn.silu(gate) * up,
+                           f"{nm}.d", ctx, layer_idx=i)
+        cache = cache._replace(pos=cache.pos.at[i].add(s))
+        return (residual + down, cache), None
+
+    (x, caches), _ = jax.lax.scan(
+        body, (x, caches), jnp.arange(cfg.num_hidden_layers))
+    return x, caches
+
+
+def _prefetch_capable(params, cfg, ctx, caches, s: int) -> bool:
+    from smoothquant_tpu.kernels import decode_attention as da
+    from smoothquant_tpu.kernels.pack import PackedLinear
+    from smoothquant_tpu.models.common import QuantKVCache
+
+    # NB: KVCache/QuantKVCache are NamedTuples — a plain tuple check would
+    # reject every cache; a stacked cache is recognized by its pos field
+    if s != 1 or caches is None or not hasattr(caches, "pos"):
+        return False
+    if ctx is None or ctx.taps is not None or ctx.tp_axis is not None:
+        return False
+    if ctx.compute not in ("auto", "int") or ctx.attn == "einsum":
+        return False
+    stacked = params["layers"].get("stacked")
+    if stacked is None or not isinstance(stacked, dict):
+        return False
+    sa = stacked.get("self_attn", {})
+    qp = sa.get("qkv_proj", sa.get("q_proj"))
+    if not (isinstance(qp, PackedLinear) and qp.meta.nibble):
+        return False
+    if caches.pos.ndim != 1:  # per-slot (L, B) positions unsupported here
+        return False
+    # every stacked leaf must be tile-aligned (pack with align_k_groups=8,
+    # align_o) — the stacked kernel cannot pad loop-invariant weights in-jit
+    for leaf in jax.tree.leaves(
+            stacked, is_leaf=lambda n: isinstance(n, PackedLinear)):
+        if not isinstance(leaf, PackedLinear):
+            continue
+        m = leaf.meta
+        if not m.nibble or (m.k_ns // (2 * m.group_size)) % 8:
+            return False
+        if leaf.w_qt.shape[-1] % 256:
+            return False
+    kbuf = caches.k_q if isinstance(caches, QuantKVCache) else caches.k
+    return da.supported(kbuf.shape[3], cfg.num_attention_heads,
+                        cfg.num_key_value_heads, cfg.head_dim)
+
+
 def forward(
     params: dict,
     input_ids: jax.Array,
@@ -280,7 +447,10 @@ def forward(
         positions = start + jax.lax.broadcasted_iota(jnp.int32, (b, s), 1)
     cos, sin = rotary_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
 
-    if scan_layers or stacked_mode:
+    if stacked_mode and _prefetch_capable(params, cfg, ctx, caches, s):
+        x, new_caches = _prefetch_scan_decode(params, x, cfg, ctx, caches,
+                                              cos, sin, attn_mask)
+    elif scan_layers or stacked_mode:
         assert ctx is None or ctx.taps is None, "taps unsupported with scan"
         if stacked_mode:
             stacked = params["layers"]["stacked"]
@@ -330,6 +500,45 @@ def forward(
             preferred_element_type=jnp.float32,
         )
     return logits, new_caches
+
+
+def fuse_projections(params: dict, cfg: LlamaConfig) -> dict:
+    """Concatenate q/k/v → qkv_proj and gate/up → gate_up_proj (fp tree).
+
+    The fused projections share one input activation, so their calibration
+    stats — and therefore the packed channel permutation and salient set —
+    are identical; fused packing is then row-concatenation of the individual
+    packs (bit-identical outputs, tested).  At decode this halves the
+    per-layer kernel launches and activation permute/quantize chains.
+    """
+    new_layers = {}
+    for i in range(cfg.num_hidden_layers):
+        lp = dict(params["layers"][str(i)])
+        def cat(parts):
+            ws = jnp.concatenate([p["weight"] for p in parts], axis=0)
+            if any(p.get("bias") is not None for p in parts):
+                bias = jnp.concatenate([
+                    p["bias"] if p.get("bias") is not None
+                    else jnp.zeros((p["weight"].shape[0],), ws.dtype)
+                    for p in parts])
+            else:
+                bias = None
+            return {"weight": ws, "bias": bias}
+
+        sa = dict(lp["self_attn"])
+        if "q_proj" in sa:
+            sa["qkv_proj"] = cat([sa.pop(p)
+                                  for p in ("q_proj", "k_proj", "v_proj")])
+        lp["self_attn"] = sa
+        mlp = dict(lp["mlp"])
+        if "gate_proj" in mlp:
+            mlp["gate_up_proj"] = cat([mlp.pop(p)
+                                       for p in ("gate_proj", "up_proj")])
+        lp["mlp"] = mlp
+        new_layers[str(i)] = lp
+    out = dict(params)
+    out["layers"] = new_layers
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -464,4 +673,23 @@ def quantizable_linears(cfg: LlamaConfig):
         out.append((li + ("self_attn", "o_proj"), f"{pre}.self_attn.o_proj", False))
         for p in MLP_PROJS:
             out.append((li + ("mlp", p), f"{pre}.mlp.{p}", False))
+    return out
+
+
+def quantizable_linears_fused(cfg: LlamaConfig):
+    """quantizable_linears for a fuse_projections() tree.  The fused
+    projections read the SAME input as their parts, so the calibration key
+    of the first part (q_proj / gate_proj) supplies importance and act
+    scales for the whole fusion."""
+    out = []
+    for i in range(cfg.num_hidden_layers):
+        li = ("layers", str(i))
+        pre = f"model.layers.{i}"
+        out.append((li + ("self_attn", "qkv_proj"),
+                    f"{pre}.self_attn.q_proj", True))
+        out.append((li + ("self_attn", "o_proj"),
+                    f"{pre}.self_attn.o_proj", False))
+        out.append((li + ("mlp", "gate_up_proj"),
+                    f"{pre}.mlp.gate_proj", False))
+        out.append((li + ("mlp", "down_proj"), f"{pre}.mlp.down_proj", False))
     return out

@@ -65,6 +65,9 @@ def pack_model(
     nibble: bool = False,
     lm_head_qcfg: Optional[QuantConfig] = None,
     host_pack: bool = False,
+    align_k_groups: int = 1,
+    align_o: int = 1,
+    fuse: bool = False,
 ) -> dict:
     """Replace every quantizable linear with a PackedLinear (real-kernel path).
 
@@ -88,13 +91,23 @@ def pack_model(
 
     mod = get_arch(arch)
     compute_dtype = compute_dtype or jnp.dtype(getattr(cfg, "dtype", "bfloat16"))
-    for path, key, _qo in mod.quantizable_linears(cfg):
+    if fuse:
+        # qkv / gate-up fusion: halves decode kernel launches; calibration
+        # stats are shared (same input) so packing is equivalent (tested)
+        if not hasattr(mod, "fuse_projections"):
+            raise NotImplementedError(f"{arch} has no fused-projection support")
+        params = mod.fuse_projections(params, cfg)
+        listing = mod.quantizable_linears_fused(cfg)
+    else:
+        listing = mod.quantizable_linears(cfg)
+    for path, key, _qo in listing:
         lin = _get_path(params, path)
         imp = None if input_feat is None else np.asarray(input_feat[key])
         absmax = None if act_scales is None else np.asarray(act_scales[key])
         packed = pack_linear(lin, qcfg, importance=imp, act_absmax=absmax,
                              compute_dtype=compute_dtype, nibble=nibble,
-                             host_pack=host_pack)
+                             host_pack=host_pack,
+                             align_k_groups=align_k_groups, align_o=align_o)
         params = _set_path(params, path, packed)
     if lm_head_qcfg is not None and isinstance(params.get("lm_head"), dict):
         params = dict(params)

@@ -196,6 +196,61 @@ def make_tp_forward_v2(mod, cfg, mesh, *, compute: str = "auto",
     return build
 
 
+def make_tp_decode_v2(mod, cfg, mesh, *, compute: str = "auto",
+                      interpret: bool = False):
+    """Megatron-TP decode step WITH a tensor-sharded KV cache.
+
+    Returns build(params) -> step(params, ids, caches) -> (logits, caches),
+    where caches is a list of common.KVCache/QuantKVCache over GLOBAL head
+    counts; shard_map splits them on the head axis so each device attends
+    over its local heads only (the north-star KV-cache-over-ICI sharding)
+    and the packed linears run exactly as in make_tp_forward_v2.  The
+    serving layer (Generator / ContinuousBatcher) can drive this step as a
+    drop-in for the single-chip forward.
+    """
+    tp = mesh.shape[TP_AXIS]
+    nh = cfg.num_attention_heads
+    nkv = getattr(cfg, "num_key_value_heads", nh)
+    if not any(f.name == "head_dim_value" for f in dataclasses.fields(cfg)):
+        raise NotImplementedError("make_tp_decode_v2 needs head_dim_value")
+    if nh % tp or nkv % tp:
+        raise ValueError(f"tp={tp} must divide heads ({nh}) and kv ({nkv})")
+    cfg_local = dataclasses.replace(
+        cfg, num_attention_heads=nh // tp, num_key_value_heads=nkv // tp,
+        head_dim_value=cfg.head_dim)
+
+    def cache_specs(caches):
+        def leaf_spec(a):
+            if a.ndim == 4:     # (B, H, S, D)
+                return P(None, TP_AXIS, None, None)
+            if a.ndim == 3:     # (B, H, S) quant scales
+                return P(None, TP_AXIS, None)
+            return P()          # pos
+        return jax.tree.map(leaf_spec, caches)
+
+    def build(params, caches_template):
+        specs = packed_model_specs(params)
+        cspecs = cache_specs(caches_template)
+        ctx = ForwardContext(compute=compute, interpret=interpret,
+                             tp_axis=TP_AXIS)
+
+        @jax.jit
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(specs, P(None, None), cspecs),
+            out_specs=(P(None, None, None), cspecs),
+            check_vma=False,
+        )
+        def step(local_params, ids, caches):
+            logits, caches = mod.forward(local_params, ids, cfg_local,
+                                         ctx=ctx, caches=caches)
+            return logits, caches
+
+        return step
+
+    return build
+
+
 def make_tp_forward(mod, cfg, qcfg, mesh, *, compute: str = "auto",
                     interpret: bool = False):
     """Build a jitted tensor-parallel forward for a packed model.

@@ -44,12 +44,18 @@ class Generator:
     def __init__(self, model_mod, params, cfg, quant=None,
                  kv_dtype=None, max_len: int = 2048, quant_kv: bool = False,
                  compute: str = "auto", interpret: bool = False,
-                 prefill_params=None):
+                 prefill_params=None, forward_fn=None):
         """prefill_params: optional second params tree used ONLY for prompt
         prefill — e.g. kernels.pack.promote_model_int8(params), whose
         single-group int8 layout runs full-depth int8 MXU contractions
         (prefill-optimal) while decode keeps the 4-bit nibble tree
-        (bandwidth-optimal)."""
+        (bandwidth-optimal).
+
+        forward_fn: optional replacement for mod.forward with signature
+        (params, ids, caches) -> (logits, caches) — e.g. the shard_map step
+        from parallel.tp_packed.make_tp_decode_v2, which makes this
+        Generator serve a tensor-parallel model over a head-sharded KV
+        cache."""
         self.mod = model_mod
         self.params = params
         self.prefill_params = params if prefill_params is None else prefill_params
@@ -62,10 +68,14 @@ class Generator:
         n_kv = getattr(cfg, "num_key_value_heads", cfg.num_attention_heads)
         self._n_kv = n_kv
 
+        if forward_fn is None:
+            def forward_fn(params, ids, caches):
+                return self.mod.forward(params, ids, self.cfg, ctx=self.ctx,
+                                        caches=caches)
+
         @functools.partial(jax.jit, static_argnames=("temperature",))
         def _prefill(params, ids, caches, key, temperature):
-            logits, caches = self.mod.forward(params, ids, self.cfg,
-                                              ctx=self.ctx, caches=caches)
+            logits, caches = forward_fn(params, ids, caches)
             nxt = sample_token(logits[:, -1, :], temperature, key)
             return nxt, caches
 
@@ -74,8 +84,7 @@ class Generator:
         # was the serving loop's dominant host<->device traffic
         @functools.partial(jax.jit, static_argnames=("temperature",))
         def _decode(params, tok, caches, key, temperature):
-            logits, caches = self.mod.forward(params, tok[:, None], self.cfg,
-                                              ctx=self.ctx, caches=caches)
+            logits, caches = forward_fn(params, tok[:, None], caches)
             nxt = sample_token(logits[:, -1, :], temperature, key)
             return nxt, caches
 

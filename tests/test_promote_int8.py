@@ -40,9 +40,15 @@ def test_promote_reconstructs_w4_weight(nibble):
               * np.asarray(p4.w_scales_t)[:, None, :]).reshape(p4.meta.k_ns, o)
     w8_deq = np.asarray(p8.w_qt, np.float32) * np.asarray(p8.w_scales_t)
 
+    # identity layout: w8 row perm[j] holds packed row j; salient rows zero
+    k_ns_raw = c - p4.meta.num_salient
+    perm = np.asarray(p4.perm)
     col_step = np.abs(w4_deq).max(0) / 127.0
-    assert np.all(np.abs(w8_deq - w4_deq) <= 0.5 * col_step + 1e-8)
-    assert p8.meta.group_size == p8.meta.k_ns and not p8.meta.nibble
+    assert np.all(np.abs(w8_deq[perm[:k_ns_raw]] - w4_deq[:k_ns_raw])
+                  <= 0.5 * col_step + 1e-8)
+    if p4.meta.num_salient:
+        assert np.all(np.asarray(p8.w_qt)[perm[k_ns_raw:]] == 0)
+    assert p8.meta.layout == "identity" and not p8.meta.nibble
     assert p8.meta.act_quant == "per_token" and p8.meta.act_bits == 8
 
 
