@@ -104,7 +104,8 @@ def main() -> None:
         caches = llama.stacked_caches(cfg, BATCH, CACHE, jnp.bfloat16,
                                       pos=CACHE - 64)
         _log(f"bf16 decode timing depth {depth} (compiles on first run)")
-        t_bf[depth] = time_steps(make_step(cfg), (tok, params, caches), iters=16)
+        t_bf[depth] = time_steps(make_step(cfg), (tok, params, caches),
+                                 iters=32, repeats=5)
         _log(f"bf16 depth {depth}: {t_bf[depth]*1e3:.2f} ms/step")
         del params, caches
         gc.collect()
@@ -172,7 +173,8 @@ def main() -> None:
     caches = llama.stacked_caches(cfg, BATCH, CACHE, jnp.bfloat16,
                                   pos=CACHE - 64, quant_kv=True)
     ctx = ForwardContext(quant=qcfg, compute="int", interpret=_TINY)
-    t_q = time_steps(make_step(cfg, ctx), (tok, packed, caches), iters=16)
+    t_q = time_steps(make_step(cfg, ctx), (tok, packed, caches), iters=32,
+                     repeats=5)
     _log(f"quant decode {t_q*1e3:.2f} ms/step at {FULL_LAYERS} layers")
 
     # ---------------- roofline accounting ----------------------------------

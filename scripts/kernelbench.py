@@ -326,17 +326,15 @@ def main(which):
             def actq(x_):
                 xf = x_.astype(jnp.float32)
                 s = compute_scale(jnp.max(jnp.abs(xf), -1, keepdims=True), 8)
-                return jnp.round(xf / s).astype(jnp.int8), s
+                return jnp.round(xf / s).astype(jnp.float32) * s
 
             t = time_steps(jax.jit(actq), (x,), iters=256, repeats=5)
             emit("glue", (n, 4096), "act_quant_pertoken", t, n * 4096 * 2)
 
-            xg = x.reshape(n, 64, 64)
-
             def actq_g(x_):
                 xf = x_.astype(jnp.float32).reshape(n, 64, 64)
                 s = compute_scale(jnp.max(jnp.abs(xf), -1, keepdims=True), 4)
-                return jnp.round(xf / s).astype(jnp.int8), s
+                return jnp.round(xf / s).astype(jnp.float32) * s
 
             t = time_steps(jax.jit(actq_g), (x,), iters=256, repeats=5)
             emit("glue", (n, 4096), "act_quant_pergroup", t, n * 4096 * 2)
