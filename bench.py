@@ -63,7 +63,7 @@ def main() -> None:
                       "/root/.cache/jax_comp_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from smoothquant_tpu.kernels.pack import pack_linear
+    from smoothquant_tpu.kernels.pack import fold_input_perm, pack_linear
     from smoothquant_tpu.models import llama
     from smoothquant_tpu.models.common import ForwardContext
     from smoothquant_tpu.quant import w4a4_group
@@ -86,9 +86,12 @@ def main() -> None:
         return dataclasses.replace(base, num_hidden_layers=n)
 
     def make_step(cfg, ctx=None):
+        # stateful: the KV cache is threaded through the timing loop like a
+        # real decode loop would — otherwise XLA copies the whole cache each
+        # step to preserve the loop-invariant input (~0.4 ms at full depth)
         def step(t, p, c):
-            logits, _ = llama.forward(p, t, cfg, ctx=ctx, caches=c)
-            return logits[:, -1]
+            logits, new_c = llama.forward(p, t, cfg, ctx=ctx, caches=c)
+            return logits[:, -1], new_c
 
         return step
 
@@ -105,7 +108,7 @@ def main() -> None:
                                       pos=CACHE - 64)
         _log(f"bf16 decode timing depth {depth} (compiles on first run)")
         t_bf[depth] = time_steps(make_step(cfg), (tok, params, caches),
-                                 iters=32, repeats=5)
+                                 iters=32, repeats=5, stateful=True)
         _log(f"bf16 depth {depth}: {t_bf[depth]*1e3:.2f} ms/step")
         del params, caches
         gc.collect()
@@ -127,7 +130,7 @@ def main() -> None:
     def pk(lin, imp):
         # tile-aligned packs: required by the prefetch-scan kernels
         return pack_linear(lin, qcfg, importance=imp, nibble=True,
-                           align_k_groups=8, align_o=1024)
+                           align_k_groups=8, align_o=512)
 
     h_dim, i_dim = cfg_at(1).hidden_size, cfg_at(1).intermediate_size
     layers = {}
@@ -142,11 +145,15 @@ def main() -> None:
                            rng.uniform(0.1, 1.0, size=(h_dim,))),
             "o_proj": pk(sa["o_proj"], rng.uniform(0.1, 1.0, size=(h_dim,))),
         }
+        # fold down_proj's input perm into gate/up output rows: the decode
+        # step then needs NO activation gather for the widest (11k-channel)
+        # permutation — it becomes a load-time weight relayout
+        dp = pk(mlp["down_proj"], rng.uniform(0.1, 1.0, size=(i_dim,)))
+        dp, gu_lin = fold_input_perm(
+            dp, fuse(mlp["gate_proj"], mlp["up_proj"]), n_splits=2)
         lp["mlp"] = {
-            "gate_up_proj": pk(fuse(mlp["gate_proj"], mlp["up_proj"]),
-                               rng.uniform(0.1, 1.0, size=(h_dim,))),
-            "down_proj": pk(mlp["down_proj"],
-                            rng.uniform(0.1, 1.0, size=(i_dim,))),
+            "gate_up_proj": pk(gu_lin, rng.uniform(0.1, 1.0, size=(h_dim,))),
+            "down_proj": dp,
         }
         layers[str(i)] = lp
         if i % 8 == 7:
@@ -174,7 +181,7 @@ def main() -> None:
                                   pos=CACHE - 64, quant_kv=True)
     ctx = ForwardContext(quant=qcfg, compute="int", interpret=_TINY)
     t_q = time_steps(make_step(cfg, ctx), (tok, packed, caches), iters=32,
-                     repeats=5)
+                     repeats=5, stateful=True)
     _log(f"quant decode {t_q*1e3:.2f} ms/step at {FULL_LAYERS} layers")
 
     # ---------------- roofline accounting ----------------------------------

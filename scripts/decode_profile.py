@@ -1,0 +1,168 @@
+"""Profile the packed prefetch-scan decode step and aggregate device time.
+
+Builds the bench.py flagship config at reduced depth (scan body is identical
+per layer, so per-layer shares extrapolate), traces a handful of decode
+steps with jax.profiler, then parses the xplane with
+jax.profiler.ProfileData and prints per-op-category device time so we can
+see where the non-roofline microseconds go (kernel vs XLA glue vs gaps).
+"""
+
+from __future__ import annotations
+
+import collections
+import glob
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+LAYERS = int(os.environ.get("PROF_LAYERS", "8"))
+BATCH, CACHE = 4, 512
+STEPS = 8
+
+
+def _log(m):
+    import time
+    print(f"# [{time.strftime('%H:%M:%S')}] {m}", file=sys.stderr, flush=True)
+
+
+def build(cfg, qcfg, head_qcfg, rng):
+    import jax
+    import jax.numpy as jnp
+    from smoothquant_tpu.kernels.pack import fold_input_perm, pack_linear
+    from smoothquant_tpu.models import llama
+
+    key = jax.random.PRNGKey(2)
+
+    def fuse(*lins):
+        return {"weight": jnp.concatenate([l["weight"] for l in lins], 0),
+                "bias": None}
+
+    def pk(lin, imp):
+        return pack_linear(lin, qcfg, importance=imp, nibble=True,
+                           align_k_groups=8, align_o=512)
+
+    h_dim, i_dim = cfg.hidden_size, cfg.intermediate_size
+    layers = {}
+    for i in range(cfg.num_hidden_layers):
+        lp = llama.init_layer_params(jax.random.fold_in(key, i), cfg)
+        sa, mlp = lp["self_attn"], lp["mlp"]
+        lp["self_attn"] = {
+            "qkv_proj": pk(fuse(sa["q_proj"], sa["k_proj"], sa["v_proj"]),
+                           rng.uniform(0.1, 1.0, size=(h_dim,))),
+            "o_proj": pk(sa["o_proj"], rng.uniform(0.1, 1.0, size=(h_dim,))),
+        }
+        # fold down_proj's input perm into gate/up output rows: the decode
+        # step then needs NO activation gather for the widest (11k-channel)
+        # permutation — it becomes a load-time weight relayout
+        dp = pk(mlp["down_proj"], rng.uniform(0.1, 1.0, size=(i_dim,)))
+        dp, gu_lin = fold_input_perm(
+            dp, fuse(mlp["gate_proj"], mlp["up_proj"]), n_splits=2)
+        lp["mlp"] = {
+            "gate_up_proj": pk(gu_lin, rng.uniform(0.1, 1.0, size=(h_dim,))),
+            "down_proj": dp,
+        }
+        layers[str(i)] = lp
+    h = cfg.hidden_size
+    lm_head = llama._init_lin(jax.random.fold_in(key, 1000), cfg.vocab_size,
+                              h, False, jnp.bfloat16)
+    packed = {
+        "embed_tokens": {"weight": jax.random.normal(
+            jax.random.fold_in(key, 1001), (cfg.vocab_size, h),
+            jnp.bfloat16) * 0.02},
+        "layers": layers,
+        "norm": {"weight": jnp.ones((h,), jnp.bfloat16)},
+        "lm_head": pack_linear(lm_head, head_qcfg),
+    }
+    return llama.stack_layers(packed, cfg)
+
+
+def main():
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/.cache/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from smoothquant_tpu.models import llama
+    from smoothquant_tpu.models.common import ForwardContext
+    from smoothquant_tpu.quant import w4a4_group
+    from smoothquant_tpu.quant.config import QuantConfig
+
+    qcfg = w4a4_group(group_size=64, salient_prop=0.05)
+    head_qcfg = QuantConfig(weight_quant="per_channel", act_quant="per_token",
+                            quant_bits=8)
+    rng = np.random.default_rng(0)
+    cfg = dataclasses.replace(llama.LlamaConfig.llama2_7b(),
+                              num_hidden_layers=LAYERS)
+    _log(f"building packed model ({LAYERS} layers)")
+    packed = build(cfg, qcfg, head_qcfg, rng)
+    caches = llama.stacked_caches(cfg, BATCH, CACHE, jnp.bfloat16,
+                                  pos=CACHE - 64, quant_kv=True)
+    ctx = ForwardContext(quant=qcfg, compute="int")
+    tok = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(BATCH, 1)))
+
+    @jax.jit
+    def step(t, p, c):
+        logits, _ = llama.forward(p, t, cfg, ctx=ctx, caches=c)
+        return logits[:, -1]
+
+    _log("compiling / warming")
+    out = step(tok, packed, caches)
+    out.block_until_ready()
+    import time
+    t0 = time.perf_counter()
+    for _ in range(16):
+        out = step(tok, packed, caches)
+    out.block_until_ready()
+    wall = (time.perf_counter() - t0) / 16
+    _log(f"decode step {wall*1e3:.3f} ms at {LAYERS} layers")
+
+    tmpd = tempfile.mkdtemp(prefix="smqprof_")
+    _log(f"tracing into {tmpd}")
+    with jax.profiler.trace(tmpd):
+        for _ in range(STEPS):
+            out = step(tok, packed, caches)
+        out.block_until_ready()
+
+    xs = glob.glob(os.path.join(tmpd, "**", "*.xplane.pb"), recursive=True)
+    _log(f"xplane files: {xs}")
+    pd = jax.profiler.ProfileData.from_file(xs[0])
+    for plane in pd.planes:
+        if "TPU" not in plane.name and "tpu" not in plane.name:
+            continue
+        _log(f"plane: {plane.name}")
+        agg = collections.defaultdict(float)
+        cnt = collections.Counter()
+        total = 0.0
+        tmin, tmax = float("inf"), 0.0
+        for line in plane.lines:
+            lname = line.name
+            for ev in line.events:
+                dur = ev.duration_ns / 1e3  # us
+                name = ev.name
+                agg[(lname, name)] += dur
+                cnt[(lname, name)] += 1
+                if "step" not in lname.lower():
+                    total += dur
+                start = ev.start_ns / 1e3
+                tmin = min(tmin, start)
+                tmax = max(tmax, start + dur)
+        rows = sorted(agg.items(), key=lambda kv: -kv[1])[:60]
+        print(json.dumps({"plane": plane.name,
+                          "span_us": round(tmax - tmin, 1),
+                          "sum_us": round(total, 1)}))
+        for (lname, name), us in rows:
+            print(f"{us/STEPS:10.1f} us/step  x{cnt[(lname,name)]/STEPS:6.1f}  "
+                  f"[{lname}] {name[:110]}")
+
+
+if __name__ == "__main__":
+    main()

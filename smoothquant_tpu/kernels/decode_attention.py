@@ -16,6 +16,12 @@ GQA queries sharing a KV head ride the sublane axis: q is reshaped
 (B, H_kv, rep, D) and rep-padded to 8.  Validity masking (cache fill level
 and continuous-batching key holes) arrives pre-folded into an additive
 (B, S) f32 bias of 0 / -inf rows.
+
+Grid shape: decode tiles are small (a (TS, D) int8 tile is 64 KB), so a
+per-(batch, head) grid is DMA-issue-latency bound, not bandwidth bound —
+measured 3.4x off the HBM roofline at MHA-32.  The kernel therefore chunks
+H_CHUNK KV heads per grid step (one ~1 MB DMA per operand per step) and
+loops over the chunk in-kernel; scratch rows are per-head slices.
 """
 
 from __future__ import annotations
@@ -35,10 +41,13 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _flash_tile(q, k_tile, v_tile, bias_row, ks_row, vs_row, sm_scale,
-                m_ref, l_ref, acc_ref, is_first, is_last, o_ref):
-    """One S-tile of streaming softmax.  q: (R, D); k/v tile: (TS, D);
-    bias_row/ks_row/vs_row: (1, TS)."""
+def _flash_head(q, k_tile, v_tile, bias_row, ks_row, vs_row, sm_scale,
+                m_ref, l_ref, acc_ref, r0, is_first, is_last, o_ref, j):
+    """One (head, S-tile) of streaming softmax.  q: (R, D); k/v tile:
+    (TS, D); bias_row/ks_row/vs_row: (1, TS).  Scratch rows [r0, r0+R);
+    output written to o_ref[0, j] on the last S-tile."""
+    rp = q.shape[0]
+    rows = slice(r0, r0 + rp)
     scores = jax.lax.dot_general(
         q, k_tile,
         dimension_numbers=(((1,), (1,)), ((), ())),
@@ -48,7 +57,7 @@ def _flash_tile(q, k_tile, v_tile, bias_row, ks_row, vs_row, sm_scale,
         scores = scores * ks_row.astype(jnp.float32)
     scores = scores + bias_row.astype(jnp.float32)
 
-    m_prev = m_ref[:, :1]                                    # (R, 1)
+    m_prev = m_ref[rows, :1]                                 # (R, 1)
     m_cur = jnp.max(scores, axis=1, keepdims=True)
     m_new = jnp.where(is_first, m_cur, jnp.maximum(m_prev, m_cur))
     # guard fully-masked tiles: exp(-inf - -inf) would be NaN
@@ -58,7 +67,7 @@ def _flash_tile(q, k_tile, v_tile, bias_row, ks_row, vs_row, sm_scale,
 
     p = jnp.exp(scores - m_safe)                             # (R, TS)
     p_sum = jnp.sum(p, axis=1, keepdims=True)
-    l_new = jnp.where(is_first, p_sum, l_ref[:, :1] * alpha + p_sum)
+    l_new = jnp.where(is_first, p_sum, l_ref[rows, :1] * alpha + p_sum)
     if vs_row is not None:
         p = p * vs_row.astype(jnp.float32)
     pv = jax.lax.dot_general(
@@ -67,63 +76,55 @@ def _flash_tile(q, k_tile, v_tile, bias_row, ks_row, vs_row, sm_scale,
         preferred_element_type=jnp.float32,
     )                                                        # (R, D)
 
-    acc_new = jnp.where(is_first, pv, acc_ref[:] * alpha + pv)
-    m_ref[:, :1] = m_new
-    l_ref[:, :1] = l_new
-    acc_ref[:] = acc_new
+    acc_new = jnp.where(is_first, pv, acc_ref[rows] * alpha + pv)
+    m_ref[rows, :1] = m_new
+    l_ref[rows, :1] = l_new
+    acc_ref[rows] = acc_new
 
     @pl.when(is_last)
     def _():
         denom = jnp.where(l_new > 0.0, l_new, 1.0)
-        o_ref[0, 0] = (acc_new / denom).astype(o_ref.dtype)
+        o_ref[0, j] = (acc_new / denom).astype(o_ref.dtype)
 
 
-def _kernel_fp(q_ref, k_ref, v_ref, bias_ref, o_ref, m_ref, l_ref, acc_ref,
-               *, sm_scale: float):
+def _kernel_fp(idx_ref, q_ref, k_ref, v_ref, bias_ref, o_ref,
+               m_ref, l_ref, acc_ref, *, sm_scale: float, hc: int, rp: int):
+    del idx_ref  # consumed by the index maps
     st = pl.program_id(2)
     n_st = pl.num_programs(2)
-    _flash_tile(
-        q_ref[0, 0], k_ref[0, 0], v_ref[0, 0], bias_ref[0, 0], None, None,
-        sm_scale, m_ref, l_ref, acc_ref, st == 0, st == n_st - 1, o_ref,
-    )
+    for j in range(hc):
+        _flash_head(
+            q_ref[0, j], k_ref[0, 0, j], v_ref[0, 0, j], bias_ref[0, 0],
+            None, None, sm_scale, m_ref, l_ref, acc_ref, j * rp,
+            st == 0, st == n_st - 1, o_ref, j,
+        )
 
 
-def _kernel_int8(q_ref, k_ref, v_ref, bias_ref, ks_ref, vs_ref, o_ref,
-                 m_ref, l_ref, acc_ref, *, sm_scale: float):
-    st = pl.program_id(2)
-    n_st = pl.num_programs(2)
-    _flash_tile(
-        q_ref[0, 0], k_ref[0, 0].astype(jnp.bfloat16),
-        v_ref[0, 0].astype(jnp.bfloat16),
-        bias_ref[0, 0], ks_ref[0, 0, 0], vs_ref[0, 0, 0],
-        sm_scale, m_ref, l_ref, acc_ref, st == 0, st == n_st - 1, o_ref,
-    )
-
-
-def _kernel_fp_stacked(idx_ref, q_ref, k_ref, v_ref, bias_ref, o_ref,
-                       m_ref, l_ref, acc_ref, *, sm_scale: float):
+def _kernel_int8(idx_ref, q_ref, k_ref, v_ref, bias_ref, ks_ref, vs_ref,
+                 o_ref, m_ref, l_ref, acc_ref, *, sm_scale: float, hc: int,
+                 rp: int):
     del idx_ref
     st = pl.program_id(2)
     n_st = pl.num_programs(2)
-    _flash_tile(
-        q_ref[0, 0], k_ref[0, 0, 0], v_ref[0, 0, 0], bias_ref[0, 0],
-        None, None, sm_scale, m_ref, l_ref, acc_ref,
-        st == 0, st == n_st - 1, o_ref,
-    )
+    for j in range(hc):
+        _flash_head(
+            q_ref[0, j], k_ref[0, 0, j].astype(jnp.bfloat16),
+            v_ref[0, 0, j].astype(jnp.bfloat16),
+            bias_ref[0, 0], ks_ref[0, 0, j, 0], vs_ref[0, 0, j, 0],
+            sm_scale, m_ref, l_ref, acc_ref, j * rp,
+            st == 0, st == n_st - 1, o_ref, j,
+        )
 
 
-def _kernel_int8_stacked(idx_ref, q_ref, k_ref, v_ref, bias_ref, ks_ref,
-                         vs_ref, o_ref, m_ref, l_ref, acc_ref, *,
-                         sm_scale: float):
-    del idx_ref
-    st = pl.program_id(2)
-    n_st = pl.num_programs(2)
-    _flash_tile(
-        q_ref[0, 0], k_ref[0, 0, 0].astype(jnp.bfloat16),
-        v_ref[0, 0, 0].astype(jnp.bfloat16),
-        bias_ref[0, 0], ks_ref[0, 0, 0, 0], vs_ref[0, 0, 0, 0],
-        sm_scale, m_ref, l_ref, acc_ref, st == 0, st == n_st - 1, o_ref,
-    )
+def _pick_h_chunk(n_kv: int, ts: int, d: int, itemsize: int) -> int:
+    """Largest divisor of n_kv (≤16) whose K+V tile chunk stays under a
+    4 MB single-buffer DMA budget — big enough to amortize DMA issue
+    latency, small enough to double-buffer comfortably in VMEM."""
+    budget = 4 * 1024 * 1024
+    for c in (16, 8, 4, 2):
+        if n_kv % c == 0 and 2 * c * ts * d * itemsize <= budget:
+            return c
+    return 1
 
 
 @functools.partial(jax.jit, static_argnames=("sm_scale", "interpret"))
@@ -155,32 +156,35 @@ def decode_attention_stacked(
     q4 = q.reshape(b, n_kv, rep, d)
     if rp != rep:
         q4 = jnp.pad(q4, ((0, 0), (0, 0), (0, rp - rep), (0, 0)))
+    hc = _pick_h_chunk(n_kv, ts, d, k.dtype.itemsize)
 
-    grid = (b, n_kv, s // ts)
-    q_spec = pl.BlockSpec((1, 1, rp, d), lambda bb, hh, st, i: (bb, hh, 0, 0),
+    grid = (b, n_kv // hc, s // ts)
+    q_spec = pl.BlockSpec((1, hc, rp, d), lambda bb, hh, st, i: (bb, hh, 0, 0),
                           memory_space=pltpu.VMEM)
-    kv_spec = pl.BlockSpec((1, 1, 1, ts, d),
+    kv_spec = pl.BlockSpec((1, 1, hc, ts, d),
                            lambda bb, hh, st, i: (i[0], bb, hh, st, 0),
                            memory_space=pltpu.VMEM)
     bias4 = bias.reshape(b, s // ts, 1, ts)
     bias_spec = pl.BlockSpec((1, 1, 1, ts),
                              lambda bb, hh, st, i: (bb, st, 0, 0),
                              memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, 1, rp, d), lambda bb, hh, st, i: (bb, hh, 0, 0),
+    out_spec = pl.BlockSpec((1, hc, rp, d), lambda bb, hh, st, i: (bb, hh, 0, 0),
                             memory_space=pltpu.VMEM)
 
     if k_scale is not None:
         ks6 = k_scale.reshape(l_num, b, n_kv, s // ts, 1, ts)
         vs6 = v_scale.reshape(l_num, b, n_kv, s // ts, 1, ts)
         sc_spec = pl.BlockSpec(
-            (1, 1, 1, 1, 1, ts),
+            (1, 1, hc, 1, 1, ts),
             lambda bb, hh, st, i: (i[0], bb, hh, st, 0, 0),
             memory_space=pltpu.VMEM)
-        kernel = functools.partial(_kernel_int8_stacked, sm_scale=sm_scale)
+        kernel = functools.partial(_kernel_int8, sm_scale=sm_scale, hc=hc,
+                                   rp=rp)
         in_specs = [q_spec, kv_spec, kv_spec, bias_spec, sc_spec, sc_spec]
         operands = (q4, k, v, bias4, ks6, vs6)
     else:
-        kernel = functools.partial(_kernel_fp_stacked, sm_scale=sm_scale)
+        kernel = functools.partial(_kernel_fp, sm_scale=sm_scale, hc=hc,
+                                   rp=rp)
         in_specs = [q_spec, kv_spec, kv_spec, bias_spec]
         operands = (q4, k, v, bias4)
 
@@ -192,9 +196,9 @@ def decode_attention_stacked(
             in_specs=in_specs,
             out_specs=out_spec,
             scratch_shapes=[
-                pltpu.VMEM((rp, 128), jnp.float32),
-                pltpu.VMEM((rp, 128), jnp.float32),
-                pltpu.VMEM((rp, d), jnp.float32),
+                pltpu.VMEM((hc * rp, 128), jnp.float32),  # running max
+                pltpu.VMEM((hc * rp, 128), jnp.float32),  # running denom
+                pltpu.VMEM((hc * rp, d), jnp.float32),    # running numerator
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((b, n_kv, rp, d), q.dtype),
@@ -237,73 +241,17 @@ def decode_attention(
     sm_scale: Optional[float] = None,
     interpret: bool = False,
 ) -> jax.Array:
-    """Returns (B, H, D) attention output in q.dtype."""
+    """Returns (B, H, D) attention output in q.dtype.
+
+    Thin wrapper over the stacked kernel with a single-layer stack — one
+    code path for both the scan-decode and flat call sites."""
     b, h, d = q.shape
     _, n_kv, s, _ = k.shape
     rep = h // n_kv
     assert rep * n_kv == h and k.shape == v.shape == (b, n_kv, s, d)
-    ts = _pick_tile_s(s)
-    assert ts is not None, f"cache length {s} not tileable"
-    if sm_scale is None:
-        sm_scale = 1.0 / (d ** 0.5)
-
-    rp = _ceil_to(rep, 8)
-    q4 = q.reshape(b, n_kv, rep, d)
-    if rp != rep:
-        q4 = jnp.pad(q4, ((0, 0), (0, 0), (0, rp - rep), (0, 0)))
-
-    grid = (b, n_kv, s // ts)
-
-    q_spec = pl.BlockSpec((1, 1, rp, d), lambda bb, hh, st: (bb, hh, 0, 0),
-                          memory_space=pltpu.VMEM)
-    kv_spec = pl.BlockSpec((1, 1, ts, d), lambda bb, hh, st: (bb, hh, st, 0),
-                           memory_space=pltpu.VMEM)
-    # row vectors need an explicit size-1 sublane axis: a (1, TS) block over
-    # a (B, S) array is illegal (sublane 1 is neither 8-divisible nor the
-    # full axis), but over (B, S/TS, 1, TS) the block EQUALS the trailing
-    # dims, which Mosaic accepts
-    bias4 = bias.reshape(b, s // ts, 1, ts)
-    bias_spec = pl.BlockSpec((1, 1, 1, ts), lambda bb, hh, st: (bb, st, 0, 0),
-                             memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, 1, rp, d), lambda bb, hh, st: (bb, hh, 0, 0),
-                            memory_space=pltpu.VMEM)
-
-    quant = k_scale is not None
-    if quant:
-        ks5 = k_scale.reshape(b, n_kv, s // ts, 1, ts)
-        vs5 = v_scale.reshape(b, n_kv, s // ts, 1, ts)
-        sc_spec = pl.BlockSpec(
-            (1, 1, 1, 1, ts), lambda bb, hh, st: (bb, hh, st, 0, 0),
-            memory_space=pltpu.VMEM)
-        kernel = functools.partial(_kernel_int8, sm_scale=sm_scale)
-        in_specs = [q_spec, kv_spec, kv_spec, bias_spec, sc_spec, sc_spec]
-        operands = (q4, k, v, bias4, ks5, vs5)
-    else:
-        kernel = functools.partial(_kernel_fp, sm_scale=sm_scale)
-        in_specs = [q_spec, kv_spec, kv_spec, bias_spec]
-        operands = (q4, k, v, bias4)
-
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=out_spec,
-        scratch_shapes=[
-            pltpu.VMEM((rp, 128), jnp.float32),   # running max
-            pltpu.VMEM((rp, 128), jnp.float32),   # running denom
-            pltpu.VMEM((rp, d), jnp.float32),     # running numerator
-        ],
-        out_shape=jax.ShapeDtypeStruct((b, n_kv, rp, d), q.dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * b * h * s * d,
-            bytes_accessed=(2 * b * n_kv * s * d * k.dtype.itemsize
-                            + b * h * d * 2 * 2),
-            transcendentals=b * h * s,
-        ),
-        interpret=interpret,
-    )(*operands)
-
-    return out[:, :, :rep].reshape(b, h, d)
+    return decode_attention_stacked(
+        jnp.zeros((1,), jnp.int32), q, k[None], v[None], bias,
+        None if k_scale is None else k_scale[None],
+        None if v_scale is None else v_scale[None],
+        sm_scale=sm_scale, interpret=interpret,
+    )

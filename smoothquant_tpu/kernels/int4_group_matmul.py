@@ -207,7 +207,9 @@ def int4_group_matmul_stacked(
     assert w_scales_t.shape == (l_num, g_total, o)
 
     if tile_o is None:
-        tile_o = 2048 if o >= 8192 else 512
+        # narrow outputs (o_proj/down_proj) need ≥512 KB weight DMAs per
+        # grid step or the kernel goes DMA-issue-latency bound: prefer 1024
+        tile_o = 2048 if o >= 8192 else 1024
     while o % tile_o:
         tile_o //= 2
     if tile_g is None:

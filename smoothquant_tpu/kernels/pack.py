@@ -80,6 +80,14 @@ class PackedMeta:
     # — no per-call activation gather; salient channels are masked out of
     # the int path and ride the fp side path via perm's salient tail).
     layout: str = "permuted"
+    # pre_permuted: the INPUT activation already arrives in this pack's
+    # permuted channel order, so the runtime gather is skipped.  Produced by
+    # fold_input_perm(): a consumer fed by an elementwise chain from another
+    # linear (down_proj ← silu(gate)*up) folds its input permutation into
+    # the producer's OUTPUT rows at pack time — the decode-path activation
+    # gather (a dynamic ~11k-channel gather per layer under lax.scan)
+    # becomes a free load-time weight relayout.
+    pre_permuted: bool = False
 
 
 def effective_group_size(cfg: QuantConfig, k_ns_raw: int) -> int:
@@ -211,6 +219,47 @@ def pack_linear(
             act_group_size=cfg.group_size, layout=layout,
         ),
     )
+
+
+def fold_input_perm(
+    consumer: PackedLinear, producer_lin: dict, n_splits: int = 1
+) -> tuple[PackedLinear, dict]:
+    """Fold a packed consumer's input permutation into its FP producer.
+
+    When a packed linear's input is produced by another linear through a
+    purely ELEMENTWISE chain (down_proj ← silu(gate)*up), permuting the
+    producer's output rows by the consumer's channel perm makes the
+    consumer's input arrive pre-permuted — the decode path's dynamic
+    activation gather (the costliest per-layer XLA glue under lax.scan)
+    becomes a load-time weight relayout.  Exact: same bits flow through the
+    kernel either way.
+
+    producer_lin: FP {"weight", "bias"} NOT yet packed (its own packing is
+    unaffected — packing permutes its K axis, this permutes its O rows).
+    n_splits: for fused producers (gate_up) whose O axis is n_splits blocks
+    each feeding the elementwise chain positionally, the perm is applied
+    within every block.
+
+    Returns (consumer marked pre_permuted, permuted producer_lin).
+    """
+    perm = np.asarray(consumer.perm)
+    w = producer_lin["weight"]
+    o = w.shape[0] // n_splits
+    if o != perm.shape[0]:
+        raise ValueError(
+            f"producer rows per split ({o}) != consumer in_features "
+            f"({perm.shape[0]})")
+    idx = jnp.asarray(
+        np.concatenate([perm + j * o for j in range(n_splits)]))
+    bias = producer_lin.get("bias")
+    new_producer = {
+        "weight": jnp.take(w, idx, axis=0),
+        "bias": None if bias is None else jnp.take(bias, idx, axis=0),
+    }
+    new_consumer = dataclasses.replace(
+        consumer,
+        meta=dataclasses.replace(consumer.meta, pre_permuted=True))
+    return new_consumer, new_producer
 
 
 def pack_linear_row_sharded(

@@ -132,8 +132,11 @@ def real_quant_linear(
             int4_group_matmul_stacked,
         )
 
-        perm_i = packed.perm[layer_idx]
-        x_perm = jnp.take(x2d, perm_i, axis=-1)
+        if meta.pre_permuted:  # producer outputs already in packed order
+            x_perm = x2d
+        else:
+            perm_i = packed.perm[layer_idx]
+            x_perm = jnp.take(x2d, perm_i, axis=-1)
         x_q, x_scales, x_sal = quantize_activations_packed_int(x_perm, meta)
         y = int4_group_matmul_stacked(
             jnp.asarray(layer_idx, jnp.int32).reshape(1),
@@ -157,7 +160,7 @@ def real_quant_linear(
             y = y + packed.bias.astype(y.dtype)
         return y.reshape(*shape[:-1], y.shape[-1])
 
-    x_perm = jnp.take(x2d, packed.perm, axis=-1)
+    x_perm = x2d if meta.pre_permuted else jnp.take(x2d, packed.perm, axis=-1)
 
     if meta.nibble:
         compute = "int"  # nibble storage is only consumable by the int path

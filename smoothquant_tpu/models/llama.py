@@ -661,6 +661,23 @@ def params_from_hf_state_dict(state: dict, cfg: LlamaConfig, dtype=None) -> dict
     return params
 
 
+def perm_fold_pairs(cfg: LlamaConfig, fused: bool):
+    """(consumer_path, [(producer_path, n_splits), ...]) for
+    kernels.pack.fold_input_perm: down_proj's input is an ELEMENTWISE
+    function of gate/up outputs (silu(gate)*up), so its packed channel
+    permutation folds into their output rows at pack time — no runtime
+    activation gather for down_proj."""
+    out = []
+    for i in range(cfg.num_hidden_layers):
+        li = ("layers", str(i), "mlp")
+        if fused:
+            out.append((li + ("down_proj",), [(li + ("gate_up_proj",), 2)]))
+        else:
+            out.append((li + ("down_proj",),
+                        [(li + ("gate_proj",), 1), (li + ("up_proj",), 1)]))
+    return out
+
+
 def quantizable_linears(cfg: LlamaConfig):
     """(params_path, feat/scales key, quantize_output) for every quantizable
     projection — drives generic packing (registry.pack_model)."""

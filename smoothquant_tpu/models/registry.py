@@ -68,6 +68,7 @@ def pack_model(
     align_k_groups: int = 1,
     align_o: int = 1,
     fuse: bool = False,
+    fold_perms: bool = False,
 ) -> dict:
     """Replace every quantizable linear with a PackedLinear (real-kernel path).
 
@@ -100,6 +101,19 @@ def pack_model(
         listing = mod.quantizable_linears_fused(cfg)
     else:
         listing = mod.quantizable_linears(cfg)
+    fold_map = {}
+    if fold_perms:
+        # fold consumers' input perms into their producers' output rows
+        # (kernels.pack.fold_input_perm) — consumers must pack FIRST so the
+        # producer's FP weight can still be relaid before its own packing
+        if not hasattr(mod, "perm_fold_pairs"):
+            raise NotImplementedError(f"{arch} has no perm-fold support")
+        fold_map = {tuple(c): prods
+                    for c, prods in mod.perm_fold_pairs(cfg, fuse)}
+        listing = sorted(
+            listing, key=lambda t: 0 if tuple(t[0]) in fold_map else 1)
+    from smoothquant_tpu.kernels.pack import fold_input_perm
+
     for path, key, _qo in listing:
         lin = _get_path(params, path)
         imp = None if input_feat is None else np.asarray(input_feat[key])
@@ -108,6 +122,10 @@ def pack_model(
                              compute_dtype=compute_dtype, nibble=nibble,
                              host_pack=host_pack,
                              align_k_groups=align_k_groups, align_o=align_o)
+        for prod_path, n_splits in fold_map.get(tuple(path), ()):
+            prod_lin = _get_path(params, prod_path)
+            packed, prod_lin = fold_input_perm(packed, prod_lin, n_splits)
+            params = _set_path(params, prod_path, prod_lin)
         params = _set_path(params, path, packed)
     if lm_head_qcfg is not None and isinstance(params.get("lm_head"), dict):
         params = dict(params)
