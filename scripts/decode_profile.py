@@ -44,7 +44,7 @@ def build(cfg, qcfg, head_qcfg, rng):
 
     def pk(lin, imp):
         return pack_linear(lin, qcfg, importance=imp, nibble=True,
-                           align_k_groups=8, align_o=512)
+                           align_k_groups=8, align_o=2048)
 
     h_dim, i_dim = cfg.hidden_size, cfg.intermediate_size
     layers = {}
@@ -109,28 +109,28 @@ def main():
     ctx = ForwardContext(quant=qcfg, compute="int")
     tok = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(BATCH, 1)))
 
+    # mirror bench.py's stateful timing: chain STEPS decode steps inside one
+    # jit, carrying the cache (in-place updates, no per-step cache copies)
     @jax.jit
-    def step(t, p, c):
-        logits, _ = llama.forward(p, t, cfg, ctx=ctx, caches=c)
-        return logits[:, -1]
+    def run(t, p, c):
+        def body(i, carry):
+            s, cc = carry
+            logits, cc = llama.forward(p, t, cfg, ctx=ctx, caches=cc)
+            return jnp.mean(logits[:, -1]).astype(jnp.float32), cc
+        return jax.lax.fori_loop(0, STEPS, body, (jnp.float32(0.0), c))[0]
 
     _log("compiling / warming")
-    out = step(tok, packed, caches)
-    out.block_until_ready()
+    float(run(tok, packed, caches))
     import time
     t0 = time.perf_counter()
-    for _ in range(16):
-        out = step(tok, packed, caches)
-    out.block_until_ready()
-    wall = (time.perf_counter() - t0) / 16
-    _log(f"decode step {wall*1e3:.3f} ms at {LAYERS} layers")
+    float(run(tok, packed, caches))
+    wall = (time.perf_counter() - t0) / STEPS
+    _log(f"decode step {wall*1e3:.3f} ms at {LAYERS} layers (chained)")
 
     tmpd = tempfile.mkdtemp(prefix="smqprof_")
     _log(f"tracing into {tmpd}")
     with jax.profiler.trace(tmpd):
-        for _ in range(STEPS):
-            out = step(tok, packed, caches)
-        out.block_until_ready()
+        float(run(tok, packed, caches))
 
     xs = glob.glob(os.path.join(tmpd, "**", "*.xplane.pb"), recursive=True)
     _log(f"xplane files: {xs}")

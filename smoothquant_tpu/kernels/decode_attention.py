@@ -110,21 +110,24 @@ def _kernel_int8(idx_ref, q_ref, k_ref, v_ref, bias_ref, ks_ref, vs_ref,
         _flash_head(
             q_ref[0, j], k_ref[0, 0, j].astype(jnp.bfloat16),
             v_ref[0, 0, j].astype(jnp.bfloat16),
-            bias_ref[0, 0], ks_ref[0, 0, j, 0], vs_ref[0, 0, j, 0],
+            bias_ref[0, 0], ks_ref[0, 0, j:j + 1], vs_ref[0, 0, j:j + 1],
             sm_scale, m_ref, l_ref, acc_ref, j * rp,
             st == 0, st == n_st - 1, o_ref, j,
         )
 
 
 def _pick_h_chunk(n_kv: int, ts: int, d: int, itemsize: int) -> int:
-    """Largest divisor of n_kv (≤16) whose K+V tile chunk stays under a
-    4 MB single-buffer DMA budget — big enough to amortize DMA issue
-    latency, small enough to double-buffer comfortably in VMEM."""
+    """Heads per grid step: big enough to amortize DMA issue latency
+    (≥512 KB per operand), small enough to double-buffer in VMEM (4 MB
+    single-buffer budget).  Must be 8-divisible or the full H_kv axis so
+    the (hc, ts) scale block is Mosaic-legal."""
     budget = 4 * 1024 * 1024
-    for c in (16, 8, 4, 2):
+    if n_kv <= 16 and 2 * n_kv * ts * d * itemsize <= budget:
+        return n_kv
+    for c in (16, 8):
         if n_kv % c == 0 and 2 * c * ts * d * itemsize <= budget:
             return c
-    return 1
+    return 1  # single-head fallback (scale block legal only for n_kv == 1)
 
 
 @functools.partial(jax.jit, static_argnames=("sm_scale", "interpret"))
@@ -172,16 +175,19 @@ def decode_attention_stacked(
                             memory_space=pltpu.VMEM)
 
     if k_scale is not None:
-        ks6 = k_scale.reshape(l_num, b, n_kv, s // ts, 1, ts)
-        vs6 = v_scale.reshape(l_num, b, n_kv, s // ts, 1, ts)
+        # raw (L, B, H_kv, S) scales: the (hc, ts) block's last two dims are
+        # Mosaic-legal (hc is 8-divisible or the full H_kv axis), so no 6-D
+        # reshape is needed — a reshape here relayouts the ENTIRE stacked
+        # scale array inside every scan iteration (measured 35 us/layer)
+        assert hc % 8 == 0 or hc == n_kv
         sc_spec = pl.BlockSpec(
-            (1, 1, hc, 1, 1, ts),
-            lambda bb, hh, st, i: (i[0], bb, hh, st, 0, 0),
+            (1, 1, hc, ts),
+            lambda bb, hh, st, i: (i[0], bb, hh, st),
             memory_space=pltpu.VMEM)
         kernel = functools.partial(_kernel_int8, sm_scale=sm_scale, hc=hc,
                                    rp=rp)
         in_specs = [q_spec, kv_spec, kv_spec, bias_spec, sc_spec, sc_spec]
-        operands = (q4, k, v, bias4, ks6, vs6)
+        operands = (q4, k, v, bias4, k_scale, v_scale)
     else:
         kernel = functools.partial(_kernel_fp, sm_scale=sm_scale, hc=hc,
                                    rp=rp)
@@ -225,8 +231,10 @@ def _pick_tile_s(s: int) -> Optional[int]:
 
 
 def supported(s: int, n_heads: int, n_kv: int, head_dim: int) -> bool:
+    # head_dim 64 (OPT-125m/1.3b) is legal: the (TS, D) tile's last dim
+    # equals the full axis, which Mosaic accepts even below 128 lanes
     return (_pick_tile_s(s) is not None and n_heads % n_kv == 0
-            and head_dim % 128 == 0)
+            and head_dim % 64 == 0)
 
 
 @functools.partial(jax.jit, static_argnames=("sm_scale", "interpret"))

@@ -207,14 +207,25 @@ def int4_group_matmul_stacked(
     assert w_scales_t.shape == (l_num, g_total, o)
 
     if tile_o is None:
-        # narrow outputs (o_proj/down_proj) need ≥512 KB weight DMAs per
-        # grid step or the kernel goes DMA-issue-latency bound: prefer 1024
-        tile_o = 2048 if o >= 8192 else 1024
+        # largest standard tile that divides O: per-step weight DMAs under
+        # ~512 KB go DMA-issue-latency bound, but oversized blocks crowd
+        # VMEM (~16 MB/core) and starve XLA's cross-op prefetch buffers —
+        # 2048 only pays off on wide outputs (pack with align_o=2048 so
+        # they keep it)
+        cands = (2048, 1024, 512, 256, 128) if o >= 8192 else (1024, 512,
+                                                               256, 128)
+        for cand in cands:
+            if o % cand == 0:
+                tile_o = cand
+                break
     while o % tile_o:
         tile_o //= 2
     if tile_g is None:
-        tile_g = 16 if (o >= 8192 or g_half >= 48) else 8
+        tile_g = 16 if g_half % 16 == 0 else 8
     while g_half % tile_g:
+        tile_g //= 2
+    # cap the weight block at ~2 MB so double-buffering stays comfortable
+    while tile_g > 8 and tile_g * group_size * tile_o > 2 * 1024 * 1024:
         tile_g //= 2
     if tile_o < 128 or tile_g < 8:
         raise ValueError(

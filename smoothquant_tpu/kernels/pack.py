@@ -262,6 +262,40 @@ def fold_input_perm(
     return new_consumer, new_producer
 
 
+def permute_output_columns(packed: PackedLinear, idx: np.ndarray) -> PackedLinear:
+    """Relay a packed linear's OUTPUT columns: out'[j] = out[idx[j]].
+
+    Used by the shared-residual-basis layout: producers whose outputs feed
+    the residual stream (o_proj, down_proj) emit directly in the shared
+    permuted basis, so consumers marked pre_permuted need no runtime
+    gather.  Pure load-time relayout of the O axis (w_qt/w_scales_t/
+    w_sal_t are (K-ish, O); bias is (O,)); padded O columns (align_o) are
+    zeros in every field, so gathering only the true out_features columns
+    and re-padding preserves the layout contract."""
+    o = packed.meta.out_features
+    take = jnp.asarray(np.asarray(idx, np.int32))
+    if take.shape[0] != o:
+        raise ValueError(f"idx length {take.shape[0]} != out_features {o}")
+
+    def gather_o(arr):
+        if arr is None:
+            return None
+        pad = arr.shape[-1] - o
+        out = jnp.take(arr[..., :o], take, axis=-1)
+        if pad:
+            out = jnp.concatenate(
+                [out, jnp.zeros(arr.shape[:-1] + (pad,), arr.dtype)], axis=-1)
+        return out
+
+    return dataclasses.replace(
+        packed,
+        w_qt=gather_o(packed.w_qt),
+        w_scales_t=gather_o(packed.w_scales_t),
+        w_sal_t=gather_o(packed.w_sal_t),
+        bias=None if packed.bias is None else jnp.take(packed.bias, take),
+    )
+
+
 def pack_linear_row_sharded(
     params: dict,
     cfg: QuantConfig,

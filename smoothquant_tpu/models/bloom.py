@@ -127,6 +127,62 @@ def _alibi_attention(q, k, v, slopes, causal_offset, valid_len, attn_mask):
     return jnp.einsum("bhqk,bhkd->bqhd", probs, v).astype(q.dtype)
 
 
+def _decoder_layer(lp, x, cfg, name, slopes, ctx, cache, attn_mask):
+    b, s, _ = x.shape
+    nh, d = cfg.num_attention_heads, cfg.head_dim
+
+    residual = x
+    hidden = layer_norm(lp["input_layernorm"], x, cfg.layer_norm_epsilon)
+    sa = lp["self_attention"]
+    fused = call_linear(sa["query_key_value"], hidden,
+                        f"{name}.self_attention.query_key_value", ctx, True)
+    qkv = fused.reshape(b, s, nh, 3, d)
+    q, k, v = qkv[..., 0, :], qkv[..., 1, :], qkv[..., 2, :]
+    if cache is not None:
+        offset = cache.pos
+        cache = cache.update(k, v)
+        ck, cv = cache.read()
+        a = _alibi_attention(q, ck, cv, slopes, offset,
+                             cache.pos, attn_mask)
+    else:
+        a = _alibi_attention(q, to_head_major(k), to_head_major(v),
+                             slopes, 0, None, attn_mask)
+    a = a.reshape(b, s, nh * d)
+    x = residual + call_linear(sa["dense"], a,
+                               f"{name}.self_attention.dense", ctx)
+
+    residual = x
+    hidden = layer_norm(lp["post_attention_layernorm"], x, cfg.layer_norm_epsilon)
+    h1 = call_linear(lp["mlp"]["dense_h_to_4h"], hidden,
+                     f"{name}.mlp.dense_h_to_4h", ctx)
+    # HF Bloom uses exact gelu
+    x = residual + call_linear(lp["mlp"]["dense_4h_to_h"],
+                               jax.nn.gelu(h1, approximate=False),
+                               f"{name}.mlp.dense_4h_to_h", ctx)
+    return x, cache
+
+
+def stack_layers(params: dict, cfg: BloomConfig) -> dict:
+    """Pre-stack per-layer pytrees along a leading L axis for the lax.scan
+    forward — one compiled layer body instead of num_hidden_layers (cf.
+    llama.stack_layers; Bloom-176B has 70 layers)."""
+    layer_list = [params["layers"][str(i)]
+                  for i in range(cfg.num_hidden_layers)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layer_list)
+    out = {k: v for k, v in params.items() if k != "layers"}
+    out["layers"] = {"stacked": stacked}
+    return out
+
+
+def stacked_caches(cfg: BloomConfig, batch: int, max_len: int, dtype,
+                   pos: int = 0) -> KVCache:
+    """A scan-ready KV cache: every field carries a leading layers axis."""
+    shape = (cfg.num_hidden_layers, batch, cfg.num_attention_heads, max_len,
+             cfg.head_dim)
+    return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
+                   pos=jnp.full((cfg.num_hidden_layers,), pos, jnp.int32))
+
+
 def forward(
     params: dict,
     input_ids: jax.Array,
@@ -138,46 +194,31 @@ def forward(
 ) -> tuple[jax.Array, Optional[list[KVCache]]]:
     b, s = input_ids.shape
     nh, d = cfg.num_attention_heads, cfg.head_dim
+    stacked_mode = "stacked" in params["layers"]
     x = jnp.take(params["word_embeddings"]["weight"], input_ids, axis=0)
     x = layer_norm(params["word_embeddings_layernorm"], x, cfg.layer_norm_epsilon)
     slopes = jnp.asarray(alibi_slopes(nh))
 
-    new_caches = [] if caches is not None else None
-    for i in range(cfg.num_hidden_layers):
-        lp = params["layers"][str(i)]
-        name = f"transformer.h.{i}"
-        cache = caches[i] if caches is not None else None
+    if stacked_mode:
+        assert ctx is None or ctx.taps is None, "taps unsupported with scan"
 
-        residual = x
-        hidden = layer_norm(lp["input_layernorm"], x, cfg.layer_norm_epsilon)
-        sa = lp["self_attention"]
-        fused = call_linear(sa["query_key_value"], hidden,
-                            f"{name}.self_attention.query_key_value", ctx, True)
-        qkv = fused.reshape(b, s, nh, 3, d)
-        q, k, v = qkv[..., 0, :], qkv[..., 1, :], qkv[..., 2, :]
-        if cache is not None:
-            offset = cache.pos
-            cache = cache.update(k, v)
-            ck, cv = cache.read()
-            a = _alibi_attention(q, ck, cv, slopes, offset,
-                                 cache.pos, attn_mask)
-        else:
-            a = _alibi_attention(q, to_head_major(k), to_head_major(v),
-                                 slopes, 0, None, attn_mask)
-        a = a.reshape(b, s, nh * d)
-        x = residual + call_linear(sa["dense"], a,
-                                   f"{name}.self_attention.dense", ctx)
+        def body(carry, layer_in):
+            lp, cache = layer_in
+            y, cache = _decoder_layer(lp, carry, cfg, "transformer.h.scan",
+                                      slopes, ctx, cache, attn_mask)
+            return y, cache
 
-        residual = x
-        hidden = layer_norm(lp["post_attention_layernorm"], x, cfg.layer_norm_epsilon)
-        h1 = call_linear(lp["mlp"]["dense_h_to_4h"], hidden,
-                         f"{name}.mlp.dense_h_to_4h", ctx)
-        # HF Bloom uses exact gelu
-        x = residual + call_linear(lp["mlp"]["dense_4h_to_h"],
-                                   jax.nn.gelu(h1, approximate=False),
-                                   f"{name}.mlp.dense_4h_to_h", ctx)
-        if new_caches is not None:
-            new_caches.append(cache)
+        x, new_caches = jax.lax.scan(body, x,
+                                     (params["layers"]["stacked"], caches))
+    else:
+        new_caches = [] if caches is not None else None
+        for i in range(cfg.num_hidden_layers):
+            cache = caches[i] if caches is not None else None
+            x, cache = _decoder_layer(
+                params["layers"][str(i)], x, cfg, f"transformer.h.{i}",
+                slopes, ctx, cache, attn_mask)
+            if new_caches is not None:
+                new_caches.append(cache)
 
     x = layer_norm(params["ln_f"], x, cfg.layer_norm_epsilon)
     return unembed(x, params["word_embeddings"]["weight"]), new_caches

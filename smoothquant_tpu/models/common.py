@@ -88,6 +88,30 @@ def call_linear(
 
     if ctx is not None and ctx.taps is not None:
         ctx.taps.tap_input(name, x)
+    if isinstance(params, dict) and "weight_t" in params:
+        # transposed-fp decode layout (llama.pack_fp_decode): under scan
+        # (layer_idx set) the stacked scalar-prefetch kernel streams only
+        # layer i's tiles — the no-copy bf16 twin of the packed path
+        from smoothquant_tpu.kernels.fp_matmul import fp_matmul_stacked
+
+        interpret = ctx.interpret if ctx is not None else False
+        x2d = x.reshape(-1, x.shape[-1])
+        if layer_idx is not None:
+            y = fp_matmul_stacked(
+                jnp.asarray(layer_idx, jnp.int32).reshape(1), x2d,
+                params["weight_t"], interpret=interpret)
+            bias = params.get("bias")
+            if bias is not None:
+                y = y + bias[layer_idx].astype(y.dtype)
+        else:
+            y = jnp.dot(x2d, params["weight_t"],
+                        preferred_element_type=jnp.float32).astype(x.dtype)
+            if params.get("bias") is not None:
+                y = y + params["bias"].astype(y.dtype)
+        y = y.reshape(*x.shape[:-1], y.shape[-1]).astype(x.dtype)
+        if ctx is not None and ctx.taps is not None:
+            ctx.taps.tap_output(name, y)
+        return y
     if isinstance(params, PackedLinear):
         from smoothquant_tpu.kernels.real_linear import real_quant_linear
         from smoothquant_tpu.quant import core
@@ -419,3 +443,124 @@ def unembed(x: jax.Array, embedding: jax.Array) -> jax.Array:
         "bsh,vh->bsv", x, embedding.astype(x.dtype),
         preferred_element_type=jnp.float32,
     )
+
+
+# ---------------------------------------------------------------------------
+# Shared prefetch-scan decode machinery (per-arch _prefetch_scan_decode
+# bodies in models/llama.py, models/opt.py build on these)
+# ---------------------------------------------------------------------------
+
+
+def prefetch_tree_capable(stacked, ctx, caches, s: int) -> bool:
+    """Generic gate for the no-copy scalar-prefetch scan decode: single
+    token, aligned stacked cache, no taps/TP, and every projection either a
+    tile-aligned nibble PackedLinear or a transposed-fp ("weight_t") dict.
+    Arch modules add their own shape/attention checks on top."""
+    from smoothquant_tpu.kernels.pack import PackedLinear
+
+    # NB: KVCache/QuantKVCache are NamedTuples — a plain tuple check would
+    # reject every cache; a stacked cache is recognized by its pos field
+    if s != 1 or caches is None or not hasattr(caches, "pos"):
+        return False
+    if ctx is not None and (ctx.taps is not None or ctx.tp_axis is not None
+                            or ctx.attn == "einsum"):
+        return False
+    if stacked is None or not isinstance(stacked, dict):
+        return False
+    if caches.pos.ndim != 1:  # per-slot (L, B) positions unsupported here
+        return False
+    sa = stacked.get("self_attn", {})
+    qp = sa.get("qkv_proj", sa.get("q_proj"))
+    if isinstance(qp, dict) and "weight_t" in qp:
+        # transposed-fp tree: every linear must be weight_t and tileable —
+        # the stacked kernel cannot pad loop-invariant weights in-jit
+        def _lins(node):
+            if isinstance(node, dict) and "weight_t" in node:
+                yield node
+            elif isinstance(node, dict):
+                for v in node.values():
+                    yield from _lins(v)
+
+        for lin in _lins(stacked):
+            _, k_w, o = lin["weight_t"].shape
+            if k_w % 8 or o % 128:
+                return False
+    elif isinstance(qp, PackedLinear) and qp.meta.nibble:
+        if ctx is None or ctx.compute not in ("auto", "int"):
+            return False
+        # every stacked leaf must be tile-aligned (pack with
+        # align_k_groups=8, align_o)
+        for leaf in jax.tree.leaves(
+                stacked, is_leaf=lambda n: isinstance(n, PackedLinear)):
+            if not isinstance(leaf, PackedLinear):
+                continue
+            m = leaf.meta
+            if not m.nibble or (m.k_ns // (2 * m.group_size)) % 8:
+                return False
+            if leaf.w_qt.shape[-1] % 256:
+                return False
+    else:
+        return False
+    return True
+
+
+def stacked_cache_append(cache, i, k_new, v_new):
+    """Write one decode position's K/V into layer i of a STACKED cache at
+    its current fill position.  k_new/v_new: (B, 1, H_kv, D) model layout.
+    Returns (cache, pos_i)."""
+    pos_i = cache.pos[i]
+    k_hm = k_new.transpose(0, 2, 1, 3)   # (B, H_kv, 1, D)
+    v_hm = v_new.transpose(0, 2, 1, 3)
+    if isinstance(cache, QuantKVCache):
+        kq, ks = QuantKVCache._quantize(k_hm)
+        vq, vs = QuantKVCache._quantize(v_hm)
+        cache = cache._replace(
+            k_q=jax.lax.dynamic_update_slice(
+                cache.k_q, kq[None], (i, 0, 0, pos_i, 0)),
+            v_q=jax.lax.dynamic_update_slice(
+                cache.v_q, vq[None], (i, 0, 0, pos_i, 0)),
+            k_scale=jax.lax.dynamic_update_slice(
+                cache.k_scale, ks[None], (i, 0, 0, pos_i)),
+            v_scale=jax.lax.dynamic_update_slice(
+                cache.v_scale, vs[None], (i, 0, 0, pos_i)),
+        )
+    else:
+        dt = cache.k.dtype
+        cache = cache._replace(
+            k=jax.lax.dynamic_update_slice(
+                cache.k, k_hm[None].astype(dt), (i, 0, 0, pos_i, 0)),
+            v=jax.lax.dynamic_update_slice(
+                cache.v, v_hm[None].astype(dt), (i, 0, 0, pos_i, 0)),
+        )
+    return cache, pos_i
+
+
+def decode_bias(pos_i, b: int, s_max: int, attn_mask) -> jax.Array:
+    """(B, S_max) additive f32 bias for single-token decode: 0 on valid key
+    positions (< pos_i + 1, minus attn_mask holes), -inf elsewhere."""
+    from smoothquant_tpu.kernels import decode_attention as da
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (b, s_max), 1)
+    ok = col < pos_i + 1
+    if attn_mask is not None:
+        ok = jnp.logical_and(ok, attn_mask.astype(bool))
+    return jnp.where(ok, 0.0, da.NEG_INF).astype(jnp.float32)
+
+
+def stacked_flash_attention(cache, i, q_bhd, bias, ctx, sm_scale=None):
+    """Layer-i decode attention over a stacked (quant or fp) cache via the
+    scalar-prefetch flash kernel.  q_bhd: (B, H, D); returns (B, H, D).
+    sm_scale=1.0 for archs that pre-scale q (OPT folds 1/sqrt(d) into the
+    projection, reference opt.py:63-66)."""
+    from smoothquant_tpu.kernels import decode_attention as da
+
+    idx = jnp.asarray(i, jnp.int32).reshape(1)
+    interp = bool(ctx is not None and ctx.interpret)
+    if isinstance(cache, QuantKVCache):
+        return da.decode_attention_stacked(
+            idx, q_bhd, cache.k_q, cache.v_q, bias,
+            cache.k_scale, cache.v_scale, sm_scale=sm_scale,
+            interpret=interp)
+    return da.decode_attention_stacked(
+        idx, q_bhd, cache.k, cache.v, bias, sm_scale=sm_scale,
+        interpret=interp)

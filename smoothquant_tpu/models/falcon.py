@@ -138,6 +138,74 @@ def _split_qkv(fused: jax.Array, cfg: FalconConfig):
     return q, k, v
 
 
+def _decoder_layer(lp, x, cfg, name, cos, sin, ctx, cache, attn_mask):
+    b, s, _ = x.shape
+    eps = cfg.layer_norm_epsilon
+    residual = x
+
+    if cfg.new_decoder_architecture:
+        attn_in = layer_norm(lp["ln_attn"], x, eps)
+        mlp_in = layer_norm(lp["ln_mlp"], x, eps)
+    else:
+        attn_in = layer_norm(lp["input_layernorm"], x, eps)
+        mlp_in = attn_in  # parallel_attn shares the single LN
+
+    sa = lp["self_attention"]
+    fused = call_linear(sa["query_key_value"], attn_in,
+                        f"{name}.self_attention.query_key_value", ctx, True)
+    q, k, v = _split_qkv(fused, cfg)
+    q = apply_rotary(q, cos, sin)
+    k = apply_rotary(k, cos, sin)
+    if cache is not None:
+        offset = cache.pos
+        cache = cache.update(k, v)
+        a = cached_attention(q, cache, causal_offset=offset, ctx=ctx,
+                             attn_mask=attn_mask)
+    else:
+        a = attention(q, to_head_major(k), to_head_major(v),
+                      attn_mask=attn_mask)
+    a = a.reshape(b, s, cfg.num_attention_heads * cfg.head_dim)
+    attn_out = call_linear(sa["dense"], a, f"{name}.self_attention.dense", ctx)
+
+    if cfg.parallel_attn or cfg.new_decoder_architecture:
+        h1 = call_linear(lp["mlp"]["dense_h_to_4h"], mlp_in,
+                         f"{name}.mlp.dense_h_to_4h", ctx)
+        mlp_out = call_linear(lp["mlp"]["dense_4h_to_h"], jax.nn.gelu(h1),
+                              f"{name}.mlp.dense_4h_to_h", ctx)
+        x = residual + attn_out + mlp_out
+    else:
+        x = residual + attn_out
+        residual = x
+        mlp_in = layer_norm(lp["post_attention_layernorm"], x, eps)
+        h1 = call_linear(lp["mlp"]["dense_h_to_4h"], mlp_in,
+                         f"{name}.mlp.dense_h_to_4h", ctx)
+        x = residual + call_linear(lp["mlp"]["dense_4h_to_h"], jax.nn.gelu(h1),
+                                   f"{name}.mlp.dense_4h_to_h", ctx)
+    return x, cache
+
+
+def stack_layers(params: dict, cfg: FalconConfig) -> dict:
+    """Pre-stack per-layer pytrees along a leading L axis for the lax.scan
+    forward — one compiled layer body instead of num_hidden_layers (same
+    mechanism as llama.stack_layers; matters most for the 32-60-layer
+    Falcon sizes)."""
+    layer_list = [params["layers"][str(i)]
+                  for i in range(cfg.num_hidden_layers)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layer_list)
+    out = {k: v for k, v in params.items() if k != "layers"}
+    out["layers"] = {"stacked": stacked}
+    return out
+
+
+def stacked_caches(cfg: FalconConfig, batch: int, max_len: int, dtype,
+                   pos: int = 0) -> KVCache:
+    """A scan-ready KV cache: every field carries a leading layers axis."""
+    shape = (cfg.num_hidden_layers, batch, cfg.effective_kv_heads, max_len,
+             cfg.head_dim)
+    return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
+                   pos=jnp.full((cfg.num_hidden_layers,), pos, jnp.int32))
+
+
 def forward(
     params: dict,
     input_ids: jax.Array,
@@ -148,64 +216,42 @@ def forward(
     attn_mask: Optional[jax.Array] = None,
 ) -> tuple[jax.Array, Optional[list[KVCache]]]:
     b, s = input_ids.shape
+    stacked_mode = "stacked" in params["layers"]
     x = jnp.take(params["word_embeddings"]["weight"], input_ids, axis=0)
     if positions is None:
-        start = jnp.asarray(caches[0].pos if caches is not None else 0)
+        if caches is None:
+            start = jnp.asarray(0)
+        elif stacked_mode:
+            start = caches.pos[0]
+        else:
+            start = jnp.asarray(caches[0].pos)
         if start.ndim == 1:
             start = start[:, None]
         positions = start + jax.lax.broadcasted_iota(jnp.int32, (b, s), 1)
     cos, sin = rotary_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
 
-    eps = cfg.layer_norm_epsilon
-    new_caches = [] if caches is not None else None
-    for i in range(cfg.num_hidden_layers):
-        lp = params["layers"][str(i)]
-        name = f"transformer.h.{i}"
-        cache = caches[i] if caches is not None else None
-        residual = x
+    if stacked_mode:
+        assert ctx is None or ctx.taps is None, "taps unsupported with scan"
 
-        if cfg.new_decoder_architecture:
-            attn_in = layer_norm(lp["ln_attn"], x, eps)
-            mlp_in = layer_norm(lp["ln_mlp"], x, eps)
-        else:
-            attn_in = layer_norm(lp["input_layernorm"], x, eps)
-            mlp_in = attn_in  # parallel_attn shares the single LN
+        def body(carry, layer_in):
+            lp, cache = layer_in
+            y, cache = _decoder_layer(lp, carry, cfg, "transformer.h.scan",
+                                      cos, sin, ctx, cache, attn_mask)
+            return y, cache
 
-        sa = lp["self_attention"]
-        fused = call_linear(sa["query_key_value"], attn_in,
-                            f"{name}.self_attention.query_key_value", ctx, True)
-        q, k, v = _split_qkv(fused, cfg)
-        q = apply_rotary(q, cos, sin)
-        k = apply_rotary(k, cos, sin)
-        if cache is not None:
-            offset = cache.pos
-            cache = cache.update(k, v)
-            a = cached_attention(q, cache, causal_offset=offset, ctx=ctx,
-                                 attn_mask=attn_mask)
-        else:
-            a = attention(q, to_head_major(k), to_head_major(v),
-                          attn_mask=attn_mask)
-        a = a.reshape(b, s, cfg.num_attention_heads * cfg.head_dim)
-        attn_out = call_linear(sa["dense"], a, f"{name}.self_attention.dense", ctx)
+        x, new_caches = jax.lax.scan(body, x,
+                                     (params["layers"]["stacked"], caches))
+    else:
+        new_caches = [] if caches is not None else None
+        for i in range(cfg.num_hidden_layers):
+            cache = caches[i] if caches is not None else None
+            x, cache = _decoder_layer(
+                params["layers"][str(i)], x, cfg, f"transformer.h.{i}",
+                cos, sin, ctx, cache, attn_mask)
+            if new_caches is not None:
+                new_caches.append(cache)
 
-        if cfg.parallel_attn or cfg.new_decoder_architecture:
-            h1 = call_linear(lp["mlp"]["dense_h_to_4h"], mlp_in,
-                             f"{name}.mlp.dense_h_to_4h", ctx)
-            mlp_out = call_linear(lp["mlp"]["dense_4h_to_h"], jax.nn.gelu(h1),
-                                  f"{name}.mlp.dense_4h_to_h", ctx)
-            x = residual + attn_out + mlp_out
-        else:
-            x = residual + attn_out
-            residual = x
-            mlp_in = layer_norm(lp["post_attention_layernorm"], x, eps)
-            h1 = call_linear(lp["mlp"]["dense_h_to_4h"], mlp_in,
-                             f"{name}.mlp.dense_h_to_4h", ctx)
-            x = residual + call_linear(lp["mlp"]["dense_4h_to_h"], jax.nn.gelu(h1),
-                                       f"{name}.mlp.dense_4h_to_h", ctx)
-        if new_caches is not None:
-            new_caches.append(cache)
-
-    x = layer_norm(params["ln_f"], x, eps)
+    x = layer_norm(params["ln_f"], x, cfg.layer_norm_epsilon)
     return unembed(x, params["word_embeddings"]["weight"]), new_caches
 
 

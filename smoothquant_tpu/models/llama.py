@@ -271,14 +271,18 @@ def _prefetch_scan_decode(params, x, cfg, ctx, caches, cos, sin, attn_mask):
     stacked scan dynamic-slices ~every packed byte into each pallas_call
     operand — measured at ~2x the per-layer decode cost.
     """
-    from smoothquant_tpu.kernels import decode_attention as da
-    from smoothquant_tpu.models.common import QuantKVCache
+    from smoothquant_tpu.models.common import (
+        QuantKVCache,
+        decode_bias,
+        stacked_cache_append,
+        stacked_flash_attention,
+    )
 
     stacked = params["layers"]["stacked"]
     b, s, h = x.shape
     nh, n_kv, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
-    quant_cache = isinstance(caches, QuantKVCache)
-    s_max = (caches.k_q if quant_cache else caches.k).shape[3]
+    s_max = (caches.k_q if isinstance(caches, QuantKVCache)
+             else caches.k).shape[3]
 
     def norm_at(node, i):
         return {"weight": node["weight"][i]}
@@ -309,46 +313,9 @@ def _prefetch_scan_decode(params, x, cfg, ctx, caches, cos, sin, attn_mask):
         k = apply_rotary(k.reshape(b, s, n_kv, d), cos, sin)
         v = v.reshape(b, s, n_kv, d)
 
-        pos_i = cache.pos[i]          # scalar (aligned decode)
-        k_new = k.transpose(0, 2, 1, 3)   # (B, n_kv, 1, D)
-        v_new = v.transpose(0, 2, 1, 3)
-        if quant_cache:
-            kq, ks = QuantKVCache._quantize(k_new)
-            vq, vs = QuantKVCache._quantize(v_new)
-            cache = cache._replace(
-                k_q=jax.lax.dynamic_update_slice(
-                    cache.k_q, kq[None], (i, 0, 0, pos_i, 0)),
-                v_q=jax.lax.dynamic_update_slice(
-                    cache.v_q, vq[None], (i, 0, 0, pos_i, 0)),
-                k_scale=jax.lax.dynamic_update_slice(
-                    cache.k_scale, ks[None], (i, 0, 0, pos_i)),
-                v_scale=jax.lax.dynamic_update_slice(
-                    cache.v_scale, vs[None], (i, 0, 0, pos_i)),
-            )
-        else:
-            dt = cache.k.dtype
-            cache = cache._replace(
-                k=jax.lax.dynamic_update_slice(
-                    cache.k, k_new[None].astype(dt), (i, 0, 0, pos_i, 0)),
-                v=jax.lax.dynamic_update_slice(
-                    cache.v, v_new[None].astype(dt), (i, 0, 0, pos_i, 0)),
-            )
-
-        valid = pos_i + 1
-        col = jax.lax.broadcasted_iota(jnp.int32, (b, s_max), 1)
-        ok = col < valid
-        if attn_mask is not None:
-            ok = jnp.logical_and(ok, attn_mask.astype(bool))
-        bias = jnp.where(ok, 0.0, da.NEG_INF).astype(jnp.float32)
-        idx = jnp.asarray(i, jnp.int32).reshape(1)
-        interp = bool(ctx is not None and ctx.interpret)
-        if quant_cache:
-            a = da.decode_attention_stacked(
-                idx, q[:, 0], cache.k_q, cache.v_q, bias,
-                cache.k_scale, cache.v_scale, interpret=interp)
-        else:
-            a = da.decode_attention_stacked(
-                idx, q[:, 0], cache.k, cache.v, bias, interpret=interp)
+        cache, pos_i = stacked_cache_append(cache, i, k, v)
+        bias = decode_bias(pos_i, b, s_max, attn_mask)
+        a = stacked_flash_attention(cache, i, q[:, 0], bias, ctx)
         a = a[:, None].reshape(b, s, nh * d)
         x = residual + call_linear(sa["o_proj"], a, f"{nm}.o", ctx,
                                    layer_idx=i)
@@ -378,37 +345,14 @@ def _prefetch_scan_decode(params, x, cfg, ctx, caches, cos, sin, attn_mask):
 
 def _prefetch_capable(params, cfg, ctx, caches, s: int) -> bool:
     from smoothquant_tpu.kernels import decode_attention as da
-    from smoothquant_tpu.kernels.pack import PackedLinear
-    from smoothquant_tpu.models.common import QuantKVCache
+    from smoothquant_tpu.models.common import (
+        QuantKVCache,
+        prefetch_tree_capable,
+    )
 
-    # NB: KVCache/QuantKVCache are NamedTuples — a plain tuple check would
-    # reject every cache; a stacked cache is recognized by its pos field
-    if s != 1 or caches is None or not hasattr(caches, "pos"):
+    if not prefetch_tree_capable(params["layers"].get("stacked"), ctx,
+                                 caches, s):
         return False
-    if ctx is None or ctx.taps is not None or ctx.tp_axis is not None:
-        return False
-    if ctx.compute not in ("auto", "int") or ctx.attn == "einsum":
-        return False
-    stacked = params["layers"].get("stacked")
-    if stacked is None or not isinstance(stacked, dict):
-        return False
-    sa = stacked.get("self_attn", {})
-    qp = sa.get("qkv_proj", sa.get("q_proj"))
-    if not (isinstance(qp, PackedLinear) and qp.meta.nibble):
-        return False
-    if caches.pos.ndim != 1:  # per-slot (L, B) positions unsupported here
-        return False
-    # every stacked leaf must be tile-aligned (pack with align_k_groups=8,
-    # align_o) — the stacked kernel cannot pad loop-invariant weights in-jit
-    for leaf in jax.tree.leaves(
-            stacked, is_leaf=lambda n: isinstance(n, PackedLinear)):
-        if not isinstance(leaf, PackedLinear):
-            continue
-        m = leaf.meta
-        if not m.nibble or (m.k_ns // (2 * m.group_size)) % 8:
-            return False
-        if leaf.w_qt.shape[-1] % 256:
-            return False
     kbuf = caches.k_q if isinstance(caches, QuantKVCache) else caches.k
     return da.supported(kbuf.shape[3], cfg.num_attention_heads,
                         cfg.num_key_value_heads, cfg.head_dim)
@@ -535,6 +479,96 @@ def fuse_projections(params: dict, cfg: LlamaConfig) -> dict:
             mlp["gate_up_proj"] = cat([mlp.pop(p)
                                        for p in ("gate_proj", "up_proj")])
         lp["mlp"] = mlp
+        new_layers[str(i)] = lp
+    out = dict(params)
+    out["layers"] = new_layers
+    return out
+
+
+def residual_consumers(cfg: LlamaConfig, fused: bool):
+    """(param_path, feat/scales key) of every linear whose input IS the
+    (normed) residual stream — the consumers of the shared residual basis.
+    The norm between stream and linear is elementwise, so one channel
+    permutation serves them all."""
+    out = []
+    for i in range(cfg.num_hidden_layers):
+        li = ("layers", str(i))
+        pre = f"model.layers.{i}"
+        if fused:
+            out.append((li + ("self_attn", "qkv_proj"),
+                        f"{pre}.self_attn.q_proj"))
+            out.append((li + ("mlp", "gate_up_proj"), f"{pre}.mlp.gate_proj"))
+        else:
+            for p in ("q_proj", "k_proj", "v_proj"):
+                out.append((li + ("self_attn", p), f"{pre}.self_attn.{p}"))
+            for p in ("gate_proj", "up_proj"):
+                out.append((li + ("mlp", p), f"{pre}.mlp.{p}"))
+    return out
+
+
+def apply_shared_residual_basis(params: dict, cfg: LlamaConfig,
+                                perm) -> dict:
+    """Move the whole residual stream into the shared permuted basis π.
+
+    After this load-time transform the hidden state flows permuted end to
+    end: embedding columns, every norm weight, and the residual producers'
+    (o_proj/down_proj) output columns are relaid by π, so the qkv/gate_up
+    packs (marked pre_permuted, packed with the SHARED sort key) need no
+    runtime activation gather — the widest per-layer gathers in the scan
+    decode become load-time relayouts.  RMSNorm and residual adds are
+    permutation-equivariant, and the tied/untied unembedding consumes the
+    permuted basis via its own permuted columns, so logits are exactly
+    those of the unpermuted model (given the same shared stats)."""
+    from smoothquant_tpu.kernels.pack import PackedLinear, permute_output_columns
+
+    take = jnp.asarray(np.asarray(perm, np.int32))
+    out = dict(params)
+    out["embed_tokens"] = {
+        "weight": jnp.take(params["embed_tokens"]["weight"], take, axis=1)}
+    out["norm"] = {"weight": jnp.take(params["norm"]["weight"], take)}
+    if "lm_head" in params and isinstance(params["lm_head"], dict):
+        lm = params["lm_head"]
+        out["lm_head"] = {
+            "weight": jnp.take(lm["weight"], take, axis=1),
+            "bias": lm.get("bias"),
+        }
+    new_layers = {}
+    for i in range(cfg.num_hidden_layers):
+        lp = dict(params["layers"][str(i)])
+        for nrm in ("input_layernorm", "post_attention_layernorm"):
+            lp[nrm] = {"weight": jnp.take(lp[nrm]["weight"], take)}
+        sa, mlp = dict(lp["self_attn"]), dict(lp["mlp"])
+        sa["o_proj"] = permute_output_columns(sa["o_proj"], perm)
+        dp_key = "down_proj"
+        mlp[dp_key] = permute_output_columns(mlp[dp_key], perm)
+        lp["self_attn"], lp["mlp"] = sa, mlp
+        new_layers[str(i)] = lp
+    out["layers"] = new_layers
+    return out
+
+
+def pack_fp_decode(params: dict, cfg: LlamaConfig) -> dict:
+    """Prepare an UNQUANTIZED tree for the no-copy scan decode: fuse q/k/v
+    and gate/up, then store every projection transposed ((K, O), the MXU
+    B-operand layout) under "weight_t" so call_linear routes it to
+    kernels.fp_matmul.fp_matmul_stacked.  stack_layers() the result and
+    decode takes the same compile-once, no-slice-copy prefetch-scan path as
+    packed models — this is the honest bf16 baseline bench.py measures
+    against, and the fast path for serving unquantized models."""
+    params = fuse_projections(params, cfg)
+
+    def tr(lin):
+        return {"weight_t": lin["weight"].T, "bias": lin.get("bias")}
+
+    new_layers = {}
+    for i in range(cfg.num_hidden_layers):
+        lp = dict(params["layers"][str(i)])
+        sa, mlp = dict(lp["self_attn"]), dict(lp["mlp"])
+        sa["qkv_proj"] = tr(sa["qkv_proj"])
+        sa["o_proj"] = tr(sa["o_proj"])
+        mlp["gate_up_proj"] = tr(mlp["gate_up_proj"])
+        mlp["down_proj"] = tr(mlp["down_proj"])
+        lp["self_attn"], lp["mlp"] = sa, mlp
         new_layers[str(i)] = lp
     out = dict(params)
     out["layers"] = new_layers

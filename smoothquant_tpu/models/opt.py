@@ -27,6 +27,7 @@ from smoothquant_tpu.models.common import (
     cached_attention,
     call_linear,
     layer_norm,
+    maybe_quantize_output,
     to_head_major,
     unembed,
 )
@@ -121,10 +122,16 @@ def _decoder_layer(lp, x, cfg, layer_name, ctx, cache, attn_mask):
     # OPT, fake_quant.py:381,417-450); HF folds 1/sqrt(d) into q at
     # projection time — we pass scale=1.0 to attention and scale q here so
     # static INT8 q_output scales fold the same way (opt.py:63-66).
-    q = call_linear(sa["q_proj"], hidden, f"{layer_name}.self_attn.q_proj", ctx, True)
+    if "qkv_proj" in sa:  # fused projection (fuse_projections)
+        qkv = call_linear(sa["qkv_proj"], hidden,
+                          f"{layer_name}.self_attn.qkv_proj", ctx)
+        q, k, v = (qkv[..., :h], qkv[..., h:2 * h], qkv[..., 2 * h:])
+        q, k, v = (maybe_quantize_output(t, ctx) for t in (q, k, v))
+    else:
+        q = call_linear(sa["q_proj"], hidden, f"{layer_name}.self_attn.q_proj", ctx, True)
+        k = call_linear(sa["k_proj"], hidden, f"{layer_name}.self_attn.k_proj", ctx, True)
+        v = call_linear(sa["v_proj"], hidden, f"{layer_name}.self_attn.v_proj", ctx, True)
     q = q * (d ** -0.5)
-    k = call_linear(sa["k_proj"], hidden, f"{layer_name}.self_attn.k_proj", ctx, True)
-    v = call_linear(sa["v_proj"], hidden, f"{layer_name}.self_attn.v_proj", ctx, True)
     q = q.reshape(b, s, nh, d)
     k = k.reshape(b, s, nh, d)
     v = v.reshape(b, s, nh, d)
@@ -166,12 +173,149 @@ def stack_layers(params: dict, cfg: OPTConfig) -> dict:
 
 
 def stacked_caches(cfg: OPTConfig, batch: int, max_len: int, dtype,
-                   pos: int = 0) -> KVCache:
-    """A scan-ready KV cache: every field carries a leading layers axis."""
+                   pos: int = 0, quant_kv: bool = False):
+    """A scan-ready KV cache: every field carries a leading layers axis.
+
+    quant_kv=True builds the INT8 cache (half the HBM read per step; the
+    fused decode-attention kernel consumes the int8 bytes directly)."""
+    from smoothquant_tpu.models.common import QuantKVCache
+
     shape = (cfg.num_hidden_layers, batch, cfg.num_attention_heads, max_len,
              cfg.head_dim)
+    poss = jnp.full((cfg.num_hidden_layers,), pos, jnp.int32)
+    if quant_kv:
+        return QuantKVCache(
+            k_q=jnp.zeros(shape, jnp.int8), v_q=jnp.zeros(shape, jnp.int8),
+            k_scale=jnp.zeros(shape[:4], jnp.float32),
+            v_scale=jnp.zeros(shape[:4], jnp.float32),
+            pos=poss,
+        )
     return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
-                   pos=jnp.full((cfg.num_hidden_layers,), pos, jnp.int32))
+                   pos=poss)
+
+
+def fuse_projections(params: dict, cfg: OPTConfig) -> dict:
+    """Concatenate q/k/v → qkv_proj (fp tree; biases concatenated too).
+    Same input activation → shared calibration stats → fused packing is
+    row-concatenation of the individual packs (cf. llama.fuse_projections).
+    The reference's OPT surgery replaces the three separately
+    (fake_quant.py:417-450); fusing is a decode-kernel-count optimization
+    with identical numerics."""
+    new_layers = {}
+    for i in range(cfg.num_hidden_layers):
+        lp = dict(params["layers"][str(i)])
+        sa = dict(lp["self_attn"])
+        if "q_proj" in sa:
+            parts = [sa.pop(p) for p in ("q_proj", "k_proj", "v_proj")]
+            ws = jnp.concatenate([p["weight"] for p in parts], axis=0)
+            if any(p.get("bias") is not None for p in parts):
+                bias = jnp.concatenate([
+                    p["bias"] if p.get("bias") is not None
+                    else jnp.zeros((p["weight"].shape[0],), ws.dtype)
+                    for p in parts])
+            else:
+                bias = None
+            sa["qkv_proj"] = {"weight": ws, "bias": bias}
+        lp["self_attn"] = sa
+        new_layers[str(i)] = lp
+    out = dict(params)
+    out["layers"] = new_layers
+    return out
+
+
+def perm_fold_pairs(cfg: OPTConfig, fused: bool):
+    """fc2's input is relu(fc1 out) — elementwise — so fc2's packed channel
+    perm folds into fc1's output rows (kernels.pack.fold_input_perm)."""
+    del fused  # fc1/fc2 never fuse; the pair is the same either way
+    return [(("layers", str(i), "fc2"), [(("layers", str(i), "fc1"), 1)])
+            for i in range(cfg.num_hidden_layers)]
+
+
+def _prefetch_scan_decode(params, x, cfg, ctx, caches, attn_mask):
+    """Single-token decode over stacked PACKED (or transposed-fp) layers
+    without scan-slice copies — the OPT twin of llama._prefetch_scan_decode:
+    scalar-prefetch kernels stream only layer i's weight/KV tiles while the
+    stacks ride loop-invariant (see that function's docstring)."""
+    from smoothquant_tpu.models.common import (
+        QuantKVCache,
+        decode_bias,
+        stacked_cache_append,
+        stacked_flash_attention,
+    )
+
+    stacked = params["layers"]["stacked"]
+    b, s, h = x.shape
+    nh, d = cfg.num_attention_heads, cfg.head_dim
+    s_max = (caches.k_q if isinstance(caches, QuantKVCache)
+             else caches.k).shape[3]
+
+    def norm_at(node, i):
+        return {"weight": node["weight"][i], "bias": node["bias"][i]}
+
+    def body(carry, i):
+        x, cache = carry
+        sa = stacked["self_attn"]
+        residual = x
+        hidden = layer_norm(norm_at(stacked["self_attn_layer_norm"], i), x,
+                            cfg.layer_norm_eps)
+        nm = "model.decoder.layers.scan"
+        if "qkv_proj" in sa:
+            qkv = call_linear(sa["qkv_proj"], hidden, f"{nm}.qkv", ctx,
+                              layer_idx=i)
+            q, k, v = (qkv[..., :h], qkv[..., h:2 * h], qkv[..., 2 * h:])
+            q, k, v = (maybe_quantize_output(t, ctx) for t in (q, k, v))
+        else:
+            q = call_linear(sa["q_proj"], hidden, f"{nm}.q", ctx, True,
+                            layer_idx=i)
+            k = call_linear(sa["k_proj"], hidden, f"{nm}.k", ctx, True,
+                            layer_idx=i)
+            v = call_linear(sa["v_proj"], hidden, f"{nm}.v", ctx, True,
+                            layer_idx=i)
+        # HF folds 1/sqrt(d) into q at projection time; scale after the
+        # (optional) output quantization, same order as _decoder_layer
+        q = (q * (d ** -0.5)).reshape(b, s, nh, d)
+        k = k.reshape(b, s, nh, d)
+        v = v.reshape(b, s, nh, d)
+
+        cache, pos_i = stacked_cache_append(cache, i, k, v)
+        bias = decode_bias(pos_i, b, s_max, attn_mask)
+        a = stacked_flash_attention(cache, i, q[:, 0], bias, ctx,
+                                    sm_scale=1.0)
+        a = a[:, None].reshape(b, s, nh * d)
+        x = residual + call_linear(sa["out_proj"], a, f"{nm}.out", ctx,
+                                   layer_idx=i)
+
+        residual = x
+        hidden = layer_norm(norm_at(stacked["final_layer_norm"], i), x,
+                            cfg.layer_norm_eps)
+        hidden = call_linear(stacked["fc1"], hidden, f"{nm}.fc1", ctx,
+                             layer_idx=i)
+        hidden = jax.nn.relu(hidden)
+        hidden = call_linear(stacked["fc2"], hidden, f"{nm}.fc2", ctx,
+                             layer_idx=i)
+        cache = cache._replace(pos=cache.pos.at[i].add(s))
+        return (residual + hidden, cache), None
+
+    (x, caches), _ = jax.lax.scan(
+        body, (x, caches), jnp.arange(cfg.num_hidden_layers))
+    return x, caches
+
+
+def _prefetch_capable(params, cfg, ctx, caches, s: int) -> bool:
+    from smoothquant_tpu.kernels import decode_attention as da
+    from smoothquant_tpu.models.common import (
+        QuantKVCache,
+        prefetch_tree_capable,
+    )
+
+    if not cfg.do_layer_norm_before:
+        return False  # post-LN (opt-350m) keeps the plain scan path
+    if not prefetch_tree_capable(params["layers"].get("stacked"), ctx,
+                                 caches, s):
+        return False
+    kbuf = caches.k_q if isinstance(caches, QuantKVCache) else caches.k
+    return da.supported(kbuf.shape[3], cfg.num_attention_heads,
+                        cfg.num_attention_heads, cfg.head_dim)
 
 
 def forward(
@@ -203,7 +347,10 @@ def forward(
     pos_emb = jnp.take(params["embed_positions"]["weight"], positions + POS_OFFSET, axis=0)
     x = x + pos_emb.astype(x.dtype)
 
-    if stacked_mode:
+    if stacked_mode and _prefetch_capable(params, cfg, ctx, caches, s):
+        x, new_caches = _prefetch_scan_decode(params, x, cfg, ctx, caches,
+                                              attn_mask)
+    elif stacked_mode:
         assert ctx is None or ctx.taps is None, "taps unsupported with scan"
 
         def body(carry, layer_in):
@@ -347,6 +494,22 @@ def quantizable_linears(cfg: OPTConfig):
         for p in ("q_proj", "k_proj", "v_proj"):
             out.append((li + ("self_attn", p), f"{pre}.self_attn.{p}", True))
         out.append((li + ("self_attn", "out_proj"), f"{pre}.self_attn.out_proj", False))
+        out.append((li + ("fc1",), f"{pre}.fc1", False))
+        out.append((li + ("fc2",), f"{pre}.fc2", False))
+    return out
+
+
+def quantizable_linears_fused(cfg: OPTConfig):
+    """quantizable_linears for a fuse_projections() tree; the fused qkv
+    shares q_proj's calibration key (same input tensor)."""
+    out = []
+    for i in range(cfg.num_hidden_layers):
+        li = ("layers", str(i))
+        pre = f"model.decoder.layers.{i}"
+        out.append((li + ("self_attn", "qkv_proj"),
+                    f"{pre}.self_attn.q_proj", True))
+        out.append((li + ("self_attn", "out_proj"),
+                    f"{pre}.self_attn.out_proj", False))
         out.append((li + ("fc1",), f"{pre}.fc1", False))
         out.append((li + ("fc2",), f"{pre}.fc2", False))
     return out

@@ -69,6 +69,7 @@ def pack_model(
     align_o: int = 1,
     fuse: bool = False,
     fold_perms: bool = False,
+    shared_residual_basis: bool = False,
 ) -> dict:
     """Replace every quantizable linear with a PackedLinear (real-kernel path).
 
@@ -101,6 +102,35 @@ def pack_model(
         listing = mod.quantizable_linears_fused(cfg)
     else:
         listing = mod.quantizable_linears(cfg)
+    rs_paths: dict = {}
+    shared_imp = shared_absmax = None
+    if shared_residual_basis:
+        # ONE channel permutation for the residual stream, shared by every
+        # layer's qkv/gate_up input: pack those consumers with SHARED stats
+        # (summed importance, max'd absmax — deterministic ⇒ identical perm),
+        # mark them pre_permuted, and fold the basis into the embedding,
+        # norms, and o/down output columns (apply_shared_residual_basis).
+        # Zero runtime activation gathers for the stream; the quantization
+        # grouping uses the shared key instead of per-layer keys (a recipe
+        # knob — per-layer sorted grouping remains the default path).
+        if not hasattr(mod, "residual_consumers"):
+            raise NotImplementedError(
+                f"{arch} has no shared-residual-basis support")
+        rs_paths = {tuple(p): key
+                    for p, key in mod.residual_consumers(cfg, fuse)}
+        keys = set(rs_paths.values())
+        if input_feat is not None:
+            shared_imp = np.sum([np.asarray(input_feat[k]) for k in keys],
+                                axis=0)
+        if act_scales is not None:
+            shared_absmax = np.max([np.asarray(act_scales[k]) for k in keys],
+                                   axis=0)
+        elif shared_imp is not None:
+            shared_absmax = shared_imp  # deterministic shared sort key
+        else:
+            raise ValueError("shared_residual_basis needs input_feat or "
+                             "act_scales to define the shared layout")
+
     fold_map = {}
     if fold_perms:
         # fold consumers' input perms into their producers' output rows
@@ -114,14 +144,28 @@ def pack_model(
             listing, key=lambda t: 0 if tuple(t[0]) in fold_map else 1)
     from smoothquant_tpu.kernels.pack import fold_input_perm
 
+    import dataclasses as _dc
+
+    shared_perm = None
     for path, key, _qo in listing:
         lin = _get_path(params, path)
         imp = None if input_feat is None else np.asarray(input_feat[key])
         absmax = None if act_scales is None else np.asarray(act_scales[key])
+        if tuple(path) in rs_paths:
+            imp = shared_imp if shared_imp is not None else imp
+            absmax = shared_absmax
         packed = pack_linear(lin, qcfg, importance=imp, act_absmax=absmax,
                              compute_dtype=compute_dtype, nibble=nibble,
                              host_pack=host_pack,
                              align_k_groups=align_k_groups, align_o=align_o)
+        if tuple(path) in rs_paths:
+            packed = _dc.replace(
+                packed, meta=_dc.replace(packed.meta, pre_permuted=True))
+            if shared_perm is None:
+                shared_perm = np.asarray(packed.perm)
+            else:
+                assert np.array_equal(shared_perm, np.asarray(packed.perm)), \
+                    "shared-basis consumers diverged in layout"
         for prod_path, n_splits in fold_map.get(tuple(path), ()):
             prod_lin = _get_path(params, prod_path)
             packed, prod_lin = fold_input_perm(packed, prod_lin, n_splits)
@@ -129,7 +173,16 @@ def pack_model(
         params = _set_path(params, path, packed)
     if lm_head_qcfg is not None and isinstance(params.get("lm_head"), dict):
         params = dict(params)
-        params["lm_head"] = pack_linear(params["lm_head"], lm_head_qcfg,
+        lm = params["lm_head"]
+        if shared_perm is not None:
+            # the lm_head input arrives in the shared basis: fold the
+            # inverse into its weight columns before packing
+            lm = {"weight": jnp.take(jnp.asarray(lm["weight"]),
+                                     jnp.asarray(shared_perm), axis=1),
+                  "bias": lm.get("bias")}
+        params["lm_head"] = pack_linear(lm, lm_head_qcfg,
                                         compute_dtype=compute_dtype,
                                         host_pack=host_pack)
+    if shared_perm is not None:
+        params = mod.apply_shared_residual_basis(params, cfg, shared_perm)
     return params

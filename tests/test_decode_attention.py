@@ -105,7 +105,8 @@ def test_supported_gate():
     assert supported(512, 32, 32, 128)
     assert supported(1024, 32, 8, 128)
     assert not supported(96, 32, 32, 128)    # S not tileable
-    assert not supported(512, 32, 32, 64)    # head_dim not lane-aligned
+    assert supported(512, 32, 32, 64)        # head_dim 64 (OPT family)
+    assert not supported(512, 32, 32, 32)    # head_dim below a lane tile
     assert not supported(512, 30, 4, 128)    # ragged GQA
 
 

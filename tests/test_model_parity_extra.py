@@ -121,3 +121,66 @@ def test_smooth_preserves_outputs(arch, mod, cfg_fn):
     ref, _ = mod.forward(params, ids, cfg)
     got, _ = mod.forward(smoothed, ids, cfg)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-3)
+
+
+def test_falcon_stacked_scan_parity():
+    """stack_layers + lax.scan forward == per-layer loop (both layouts),
+    including cached decode over stacked caches."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from smoothquant_tpu.models.common import KVCache
+
+    for kw in (dict(), dict(new_decoder_architecture=True,
+                            num_kv_heads=2)):
+        cfg = jfalcon.FalconConfig.tiny(**kw)
+        params = jfalcon.init_params(jax.random.PRNGKey(0), cfg)
+        rng = np.random.default_rng(0)
+        ids = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(2, 6)))
+        ref, _ = jfalcon.forward(params, ids, cfg)
+        stacked = jfalcon.stack_layers(params, cfg)
+        got, _ = jfalcon.forward(stacked, ids, cfg)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+
+        # cached decode: prefill per-layer, decode stacked
+        caches = [KVCache.create(2, 32, cfg.effective_kv_heads, cfg.head_dim,
+                                 jnp.float32)
+                  for _ in range(cfg.num_hidden_layers)]
+        _, caches = jfalcon.forward(params, ids, cfg, caches=caches)
+        scache = jax.tree.map(lambda *xs: jnp.stack(xs), *caches)
+        tok = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(2, 1)))
+        r2, _ = jfalcon.forward(params, tok, cfg, caches=caches)
+        g2, sc2 = jfalcon.forward(stacked, tok, cfg, caches=scache)
+        np.testing.assert_allclose(np.asarray(g2), np.asarray(r2),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_array_equal(
+            np.asarray(sc2.pos), np.asarray([c.pos for c in caches]) + 1)
+
+
+def test_bloom_stacked_scan_parity():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from smoothquant_tpu.models.common import KVCache
+
+    cfg = jbloom.BloomConfig.tiny()
+    params = jbloom.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(2, 6)))
+    ref, _ = jbloom.forward(params, ids, cfg)
+    stacked = jbloom.stack_layers(params, cfg)
+    got, _ = jbloom.forward(stacked, ids, cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+    caches = [KVCache.create(2, 32, cfg.num_attention_heads, cfg.head_dim,
+                             jnp.float32)
+              for _ in range(cfg.num_hidden_layers)]
+    _, caches = jbloom.forward(params, ids, cfg, caches=caches)
+    scache = jax.tree.map(lambda *xs: jnp.stack(xs), *caches)
+    tok = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(2, 1)))
+    r2, _ = jbloom.forward(params, tok, cfg, caches=caches)
+    g2, _ = jbloom.forward(stacked, tok, cfg, caches=scache)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(r2),
+                               rtol=2e-4, atol=2e-4)
