@@ -259,6 +259,61 @@ def _moe_block(bp: dict, x: jax.Array, cfg: MixtralConfig, layer_name: str,
     return _moe_block_dense(bp, x, cfg, layer_name, ctx)
 
 
+def _decoder_layer(lp, x, cfg, name, cos, sin, ctx, cache, attn_mask):
+    b, s, _ = x.shape
+    nh, n_kv, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+
+    residual = x
+    hidden = rms_norm(lp["input_layernorm"], x, cfg.rms_norm_eps)
+    sa = lp["self_attn"]
+    q = call_linear(sa["q_proj"], hidden, f"{name}.self_attn.q_proj", ctx, True)
+    k = call_linear(sa["k_proj"], hidden, f"{name}.self_attn.k_proj", ctx, True)
+    v = call_linear(sa["v_proj"], hidden, f"{name}.self_attn.v_proj", ctx, True)
+    q = apply_rotary(q.reshape(b, s, nh, d), cos, sin)
+    k = apply_rotary(k.reshape(b, s, n_kv, d), cos, sin)
+    v = v.reshape(b, s, n_kv, d)
+    if cache is not None:
+        offset = cache.pos
+        cache = cache.update(k, v)
+        a = cached_attention(q, cache, causal_offset=offset, ctx=ctx,
+                             attn_mask=attn_mask)
+    else:
+        a = attention(q, to_head_major(k), to_head_major(v),
+                      attn_mask=attn_mask)
+    x = residual + call_linear(sa["o_proj"], a.reshape(b, s, nh * d),
+                               f"{name}.self_attn.o_proj", ctx)
+
+    residual = x
+    hidden = rms_norm(lp["post_attention_layernorm"], x, cfg.rms_norm_eps)
+    x = residual + _moe_block(lp["block_sparse_moe"], hidden, cfg,
+                              f"{name}.block_sparse_moe", ctx)
+    return x, cache
+
+
+def stack_layers(params: dict, cfg: MixtralConfig) -> dict:
+    """Pre-stack per-layer pytrees (experts stacked first so the tree is
+    uniform) along a leading L axis for the lax.scan forward — one compiled
+    layer body instead of num_hidden_layers.  The MoE block (dense or
+    sparse capacity-bounded dispatch) is static-shaped, so it scans."""
+    if "stacked" not in params["layers"]["0"]["block_sparse_moe"]["experts"]:
+        params = stack_experts(params, cfg)
+    layer_list = [params["layers"][str(i)]
+                  for i in range(cfg.num_hidden_layers)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layer_list)
+    out = {k: v for k, v in params.items() if k != "layers"}
+    out["layers"] = {"stacked": stacked}
+    return out
+
+
+def stacked_caches(cfg: MixtralConfig, batch: int, max_len: int, dtype,
+                   pos: int = 0) -> KVCache:
+    """A scan-ready KV cache: every field carries a leading layers axis."""
+    shape = (cfg.num_hidden_layers, batch, cfg.num_key_value_heads, max_len,
+             cfg.head_dim)
+    return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
+                   pos=jnp.full((cfg.num_hidden_layers,), pos, jnp.int32))
+
+
 def forward(
     params: dict,
     input_ids: jax.Array,
@@ -269,47 +324,40 @@ def forward(
     attn_mask: Optional[jax.Array] = None,
 ) -> tuple[jax.Array, Optional[list[KVCache]]]:
     b, s = input_ids.shape
+    stacked_mode = "stacked" in params["layers"]
     x = jnp.take(params["embed_tokens"]["weight"], input_ids, axis=0)
     if positions is None:
-        start = jnp.asarray(caches[0].pos if caches is not None else 0)
+        if caches is None:
+            start = jnp.asarray(0)
+        elif stacked_mode:
+            start = caches.pos[0]
+        else:
+            start = jnp.asarray(caches[0].pos)
         if start.ndim == 1:
             start = start[:, None]
         positions = start + jax.lax.broadcasted_iota(jnp.int32, (b, s), 1)
     cos, sin = rotary_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
 
-    nh, n_kv, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
-    new_caches = [] if caches is not None else None
-    for i in range(cfg.num_hidden_layers):
-        lp = params["layers"][str(i)]
-        name = f"model.layers.{i}"
-        cache = caches[i] if caches is not None else None
+    if stacked_mode:
+        assert ctx is None or ctx.taps is None, "taps unsupported with scan"
 
-        residual = x
-        hidden = rms_norm(lp["input_layernorm"], x, cfg.rms_norm_eps)
-        sa = lp["self_attn"]
-        q = call_linear(sa["q_proj"], hidden, f"{name}.self_attn.q_proj", ctx, True)
-        k = call_linear(sa["k_proj"], hidden, f"{name}.self_attn.k_proj", ctx, True)
-        v = call_linear(sa["v_proj"], hidden, f"{name}.self_attn.v_proj", ctx, True)
-        q = apply_rotary(q.reshape(b, s, nh, d), cos, sin)
-        k = apply_rotary(k.reshape(b, s, n_kv, d), cos, sin)
-        v = v.reshape(b, s, n_kv, d)
-        if cache is not None:
-            offset = cache.pos
-            cache = cache.update(k, v)
-            a = cached_attention(q, cache, causal_offset=offset, ctx=ctx,
-                                 attn_mask=attn_mask)
-        else:
-            a = attention(q, to_head_major(k), to_head_major(v),
-                          attn_mask=attn_mask)
-        x = residual + call_linear(sa["o_proj"], a.reshape(b, s, nh * d),
-                                   f"{name}.self_attn.o_proj", ctx)
+        def body(carry, layer_in):
+            lp, cache = layer_in
+            y, cache = _decoder_layer(lp, carry, cfg, "model.layers.scan",
+                                      cos, sin, ctx, cache, attn_mask)
+            return y, cache
 
-        residual = x
-        hidden = rms_norm(lp["post_attention_layernorm"], x, cfg.rms_norm_eps)
-        x = residual + _moe_block(lp["block_sparse_moe"], hidden, cfg,
-                                  f"{name}.block_sparse_moe", ctx)
-        if new_caches is not None:
-            new_caches.append(cache)
+        x, new_caches = jax.lax.scan(body, x,
+                                     (params["layers"]["stacked"], caches))
+    else:
+        new_caches = [] if caches is not None else None
+        for i in range(cfg.num_hidden_layers):
+            cache = caches[i] if caches is not None else None
+            x, cache = _decoder_layer(
+                params["layers"][str(i)], x, cfg, f"model.layers.{i}",
+                cos, sin, ctx, cache, attn_mask)
+            if new_caches is not None:
+                new_caches.append(cache)
 
     x = rms_norm(params["norm"], x, cfg.rms_norm_eps)
     if cfg.tie_word_embeddings or "lm_head" not in params:

@@ -134,3 +134,36 @@ class TestExpertParallel:
         mesh = make_ep_mesh(ep=3)
         with pytest.raises(ValueError):
             make_ep_forward(jmix, cfg, mesh)
+
+
+def test_mixtral_stacked_scan_parity():
+    """stack_layers (experts+layers) + lax.scan forward == per-layer loop,
+    dense and sparse dispatch, incl. stacked-cache decode."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from smoothquant_tpu.models import mixtral as jmix
+    from smoothquant_tpu.models.common import ForwardContext, KVCache
+
+    cfg = jmix.MixtralConfig.tiny()
+    params = jmix.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(2, 6)))
+    stacked = jmix.stack_layers(params, cfg)
+    for dispatch in ("dense", "sparse"):
+        ctx = ForwardContext(moe_dispatch=dispatch)
+        ref, _ = jmix.forward(params, ids, cfg, ctx=ctx)
+        got, _ = jmix.forward(stacked, ids, cfg, ctx=ctx)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+
+    caches = [KVCache.create(2, 32, cfg.num_key_value_heads, cfg.head_dim,
+                             jnp.float32)
+              for _ in range(cfg.num_hidden_layers)]
+    _, caches = jmix.forward(params, ids, cfg, caches=caches)
+    scache = jax.tree.map(lambda *xs: jnp.stack(xs), *caches)
+    tok = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(2, 1)))
+    r2, _ = jmix.forward(params, tok, cfg, caches=caches)
+    g2, _ = jmix.forward(stacked, tok, cfg, caches=scache)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(r2),
+                               rtol=2e-4, atol=2e-4)
