@@ -281,6 +281,8 @@ def main() -> None:
             "bf16_equiv_gb": round(bf16_bytes / 1e9, 3),
             "achieved_hbm_gbps": round(achieved_bw / 1e9, 1),
             "hbm_roofline_frac": round(achieved_bw / chip.hbm_bw, 3),
+            "bf16_roofline_frac": round(
+                bf16_bytes / t_bf_est / chip.hbm_bw, 3),
             "roofline_bound_ms": round(bound_s * 1e3, 3),
             "chip": chip.name,
             "batch": BATCH, "cache_len": CACHE, "layers": FULL_LAYERS,

@@ -78,7 +78,8 @@ def main():
                 compute="int", layer_idx=i)
             return carry + d[..., :h].astype(carry.dtype) * 0.01, None
 
-        out, _ = jax.lax.scan(body, x, jnp.arange(L))
+        unroll = int(os.environ.get("UNROLL", "1"))
+        out, _ = jax.lax.scan(body, x, jnp.arange(L), unroll=unroll)
         return out
 
     t = time_steps(lambda xx, st: matmuls_only(xx, st), (x, stacked),

@@ -171,7 +171,7 @@ def _kernel_stacked_nosal(idx_ref, x_lo_ref, x_hi_ref, xs_lo_ref, xs_hi_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("group_size", "out_dtype", "tile_o", "tile_g",
-                     "interpret"),
+                     "interpret", "pre_laid"),
 )
 def int4_group_matmul_stacked(
     layer_idx: jax.Array,  # (1,) int32 — which layer's weights to stream
@@ -187,6 +187,7 @@ def int4_group_matmul_stacked(
     tile_o: Optional[int] = None,
     tile_g: Optional[int] = None,
     interpret: bool = False,
+    pre_laid: Optional[int] = None,
 ) -> jax.Array:
     """Layer-stacked variant for lax.scan decode: the FULL (L, ...) weight
     arrays are passed untouched (loop-invariant — no per-iteration slice
@@ -196,14 +197,25 @@ def int4_group_matmul_stacked(
 
     Shapes must be tile-aligned at pack time (pack_linear align_k_groups /
     align_o) — in-jit padding of a stacked weight would copy it every step.
+
+    pre_laid: when set (to the true token count N), x_q/x_scales already
+    carry the kernel layout — x_q (G, N_pad, gs) int8, x_scales (G, N_pad)
+    f32, as produced by kernels.act_prep.quantize_acts_grouped_t — skipping
+    the XLA-side pad/reshape/transpose chain.
     """
-    n, kk = x_q.shape
+    if pre_laid is not None:
+        n = pre_laid
+        g_total, n_pad, _gs = x_q.shape
+        assert _gs == group_size and x_scales.shape == (g_total, n_pad)
+        kk = g_total * group_size
+    else:
+        n, kk = x_q.shape
+        g_total = kk // group_size
+        assert x_scales.shape == (n, g_total)
     l_num, half, o = w_packed.shape
     k_s = x_sal.shape[1]
-    g_total = kk // group_size
     g_half = g_total // 2
     assert kk == 2 * half and half % group_size == 0
-    assert x_scales.shape == (n, g_total)
     assert w_scales_t.shape == (l_num, g_total, o)
 
     if tile_o is None:
@@ -232,16 +244,22 @@ def int4_group_matmul_stacked(
             f"stacked kernel needs tile-aligned shapes: O={o} g_half={g_half}"
             f" (pack with align_o/align_k_groups)")
 
-    tile_n = _ceil_to(max(n, 8), 8) if n <= 128 else 128
-    n_pad = _ceil_to(n, tile_n)
-    if n_pad != n:
-        x_q = jnp.pad(x_q, ((0, n_pad - n), (0, 0)))
-        x_scales = jnp.pad(x_scales, ((0, n_pad - n), (0, 0)))
-        x_sal = jnp.pad(x_sal, ((0, n_pad - n), (0, 0)))
-
-    x3 = x_q.reshape(n_pad, g_total, group_size).transpose(1, 0, 2)
+    if pre_laid is not None:
+        n_pad = x_q.shape[1]
+        tile_n = n_pad if n_pad <= 128 else 128
+        if x_sal.shape[0] != n_pad:
+            x_sal = jnp.pad(x_sal, ((0, n_pad - x_sal.shape[0]), (0, 0)))
+        x3, xs_t = x_q, x_scales
+    else:
+        tile_n = _ceil_to(max(n, 8), 8) if n <= 128 else 128
+        n_pad = _ceil_to(n, tile_n)
+        if n_pad != n:
+            x_q = jnp.pad(x_q, ((0, n_pad - n), (0, 0)))
+            x_scales = jnp.pad(x_scales, ((0, n_pad - n), (0, 0)))
+            x_sal = jnp.pad(x_sal, ((0, n_pad - n), (0, 0)))
+        x3 = x_q.reshape(n_pad, g_total, group_size).transpose(1, 0, 2)
+        xs_t = x_scales.T
     wp4 = w_packed.reshape(l_num, g_half, group_size, o)
-    xs_t = x_scales.T
 
     grid = (n_pad // tile_n, o // tile_o, g_half // tile_g)
     gh = g_half // tile_g

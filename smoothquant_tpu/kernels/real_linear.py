@@ -93,6 +93,18 @@ def _int_path_supported(meta) -> bool:
     return meta.act_group_size == meta.group_size
 
 
+def can_fuse_norm(packed) -> bool:
+    """True when a preceding RMSNorm can fold into the activation-prep
+    kernel for this pack (prefetch-scan int path): input arrives pre-
+    permuted (shared residual basis) and the recipe is matched per-group."""
+    if not isinstance(packed, PackedLinear):
+        return False
+    m = packed.meta
+    return (m.pre_permuted and m.nibble
+            and m.act_quant not in ("per_token", "per_tensor")
+            and m.act_group_size == m.group_size)
+
+
 def real_quant_linear(
     packed: PackedLinear,
     x: jax.Array,
@@ -102,6 +114,9 @@ def real_quant_linear(
     interpret: bool = False,
     out_dtype=None,
     layer_idx: Optional[jax.Array] = None,
+    norm: Optional[tuple] = None,  # (weight_row, eps, kind): fuse the
+    #                                preceding norm into the act-prep kernel
+    #                                (requires can_fuse_norm(packed))
 ) -> jax.Array:
     """y = act_qdq(x) @ W_qdq^T + bias with true int-weight storage.
 
@@ -137,14 +152,61 @@ def real_quant_linear(
         else:
             perm_i = packed.perm[layer_idx]
             x_perm = jnp.take(x2d, perm_i, axis=-1)
-        x_q, x_scales, x_sal = quantize_activations_packed_int(x_perm, meta)
+        if norm is not None and can_fuse_norm(packed):
+            # norm + salient split + quantize + layout in ONE Pallas call
+            from smoothquant_tpu.kernels.act_prep import norm_quantize_acts_t
+
+            norm_w, eps, kind = norm
+            x3, xs_t, x_sal = norm_quantize_acts_t(
+                x_perm, norm_w, group_size=meta.group_size,
+                act_bits=meta.act_bits, k_ns=meta.k_ns,
+                num_salient=meta.num_salient, k_s=meta.k_s, eps=eps,
+                norm_kind=kind, sal_dtype=jnp.dtype(x.dtype),
+                interpret=interpret)
+            pre = (x3, xs_t, x_sal, x2d.shape[0])
+        elif (meta.act_quant not in ("per_token", "per_tensor")
+                and meta.act_group_size == meta.group_size):
+            # fused quantize+layout kernel: ONE Pallas call instead of the
+            # ~13-op XLA chain (abs/reduce/divide/round/pad/transpose ...)
+            # that cost ~12 us of serialized fixed overhead per linear in
+            # the decode scan
+            from smoothquant_tpu.kernels.act_prep import (
+                quantize_acts_grouped_t,
+            )
+
+            if norm is not None:  # unfusible recipe: apply the norm first
+                from smoothquant_tpu.models.common import rms_norm
+
+                x_perm = rms_norm({"weight": norm[0]}, x_perm, norm[1])
+            k_ns_raw = meta.in_features - meta.num_salient
+            x_ns = x_perm[:, :k_ns_raw]
+            if meta.k_ns != k_ns_raw:
+                x_ns = jnp.pad(x_ns, ((0, 0), (0, meta.k_ns - k_ns_raw)))
+            x3, xs_t = quantize_acts_grouped_t(
+                x_ns, group_size=meta.group_size, act_bits=meta.act_bits,
+                interpret=interpret)
+            x_sal = jnp.zeros((x2d.shape[0], meta.k_s), x.dtype)
+            if meta.num_salient:
+                x_sal = x_sal.at[:, :meta.num_salient].set(
+                    x_perm[:, k_ns_raw:].astype(x.dtype))
+            pre = (x3, xs_t, x_sal, x2d.shape[0])
+        else:
+            if norm is not None:  # unfusible recipe: apply the norm first
+                from smoothquant_tpu.models.common import rms_norm
+
+                x_perm = rms_norm({"weight": norm[0]}, x_perm, norm[1])
+            x_q, x_scales, x_sal = quantize_activations_packed_int(
+                x_perm, meta)
+            pre = (x_q, x_scales, x_sal.astype(x.dtype), None)
+        xq_or_x3, xs, x_sal, n_tok = pre
         y = int4_group_matmul_stacked(
             jnp.asarray(layer_idx, jnp.int32).reshape(1),
-            x_q, x_scales, packed.w_qt, packed.w_scales_t,
-            x_sal.astype(x.dtype), packed.w_sal_t.astype(x.dtype),
+            xq_or_x3, xs, packed.w_qt, packed.w_scales_t,
+            x_sal, packed.w_sal_t.astype(x.dtype),
             group_size=meta.group_size,
             out_dtype=out_dtype or x.dtype,
             interpret=interpret,
+            pre_laid=n_tok,
         )
         if y.shape[-1] > meta.out_features:
             y = y[..., : meta.out_features]

@@ -75,6 +75,7 @@ def call_linear(
     ctx: Optional[ForwardContext],
     quantize_output: bool = False,
     layer_idx: Optional[jax.Array] = None,
+    norm: Optional[tuple] = None,
 ) -> jax.Array:
     """A quantizable linear call site.
 
@@ -124,11 +125,13 @@ def call_linear(
             # all-reduce; bias is stored pre-divided by tp so the psum
             # reconstitutes it exactly once
             y = real_quant_linear(params, x, compute=compute,
-                                  interpret=interpret, layer_idx=layer_idx)
+                                  interpret=interpret, layer_idx=layer_idx,
+                                  norm=norm)
             y = jax.lax.psum(y, ctx.tp_axis)
         else:
             y = real_quant_linear(params, x, compute=compute,
-                                  interpret=interpret, layer_idx=layer_idx)
+                                  interpret=interpret, layer_idx=layer_idx,
+                                  norm=norm)
             if (ctx is not None and ctx.tp_axis is not None
                     and params.meta.tp_reduce == "gather"):
                 # v1 column-parallel: each device computed its O-shard
@@ -533,6 +536,33 @@ def stacked_cache_append(cache, i, k_new, v_new):
                 cache.v, v_hm[None].astype(dt), (i, 0, 0, pos_i, 0)),
         )
     return cache, pos_i
+
+
+def stacked_cache_append_fused(cache, i, k_new, v_new, cos, sin, ctx,
+                               rotate_k: bool = True):
+    """stacked_cache_append with the fused Pallas cache writer for INT8
+    caches: rotary-k + quantize + in-place row write in ONE kernel call
+    (the XLA chain was ~17 us/layer of serialized tiny ops).  k_new/v_new:
+    (B, 1, H_kv, D) model layout, k PRE-rotary when rotate_k.  Falls back
+    to apply_rotary + stacked_cache_append for fp caches."""
+    if isinstance(cache, QuantKVCache):
+        from smoothquant_tpu.kernels.cache_write import (
+            write_quant_cache_stacked,
+        )
+
+        b, s1, h, d = k_new.shape
+        if cos is None:  # non-rotary arch: dummy (ignored) tables
+            cos = sin = jnp.zeros((b, 1, d), jnp.float32)
+        pos_i = cache.pos[i]
+        interp = bool(ctx is not None and ctx.interpret)
+        kq, vq, ks, vs = write_quant_cache_stacked(
+            i, pos_i, k_new.reshape(b, h, d), v_new.reshape(b, h, d),
+            cos, sin, cache.k_q, cache.v_q, cache.k_scale, cache.v_scale,
+            rotary=rotate_k, interpret=interp)
+        return cache._replace(k_q=kq, v_q=vq, k_scale=ks, v_scale=vs), pos_i
+    if rotate_k:
+        k_new = apply_rotary(k_new, cos, sin)
+    return stacked_cache_append(cache, i, k_new, v_new)
 
 
 def decode_bias(pos_i, b: int, s_max: int, attn_mask) -> jax.Array:

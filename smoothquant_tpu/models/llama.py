@@ -274,7 +274,7 @@ def _prefetch_scan_decode(params, x, cfg, ctx, caches, cos, sin, attn_mask):
     from smoothquant_tpu.models.common import (
         QuantKVCache,
         decode_bias,
-        stacked_cache_append,
+        stacked_cache_append_fused,
         stacked_flash_attention,
     )
 
@@ -287,22 +287,38 @@ def _prefetch_scan_decode(params, x, cfg, ctx, caches, cos, sin, attn_mask):
     def norm_at(node, i):
         return {"weight": node["weight"][i]}
 
+    from smoothquant_tpu.kernels.real_linear import can_fuse_norm
+
+    fuse_norm_qkv = ("qkv_proj" in stacked["self_attn"]
+                     and can_fuse_norm(stacked["self_attn"]["qkv_proj"]))
+    fuse_norm_gu = ("gate_up_proj" in stacked["mlp"]
+                    and can_fuse_norm(stacked["mlp"]["gate_up_proj"]))
+
     def body(carry, i):
         x, cache = carry
         sa, mlp = stacked["self_attn"], stacked["mlp"]
         residual = x
-        hidden = rms_norm(norm_at(stacked["input_layernorm"], i), x,
-                          cfg.rms_norm_eps)
         nm = "model.layers.scan"
         if "qkv_proj" in sa:  # fused: one kernel launch + one permute chain
-            qkv = call_linear(sa["qkv_proj"], hidden, f"{nm}.qkv", ctx,
-                              layer_idx=i)
+            if fuse_norm_qkv:
+                # norm folds into the act-prep kernel (shared basis)
+                qkv = call_linear(
+                    sa["qkv_proj"], x, f"{nm}.qkv", ctx, layer_idx=i,
+                    norm=(stacked["input_layernorm"]["weight"][i],
+                          cfg.rms_norm_eps, "rms"))
+            else:
+                hidden = rms_norm(norm_at(stacked["input_layernorm"], i), x,
+                                  cfg.rms_norm_eps)
+                qkv = call_linear(sa["qkv_proj"], hidden, f"{nm}.qkv", ctx,
+                                  layer_idx=i)
             q_dim, kv_dim = nh * d, n_kv * d
             q = qkv[..., :q_dim]
             k = qkv[..., q_dim:q_dim + kv_dim]
             v = qkv[..., q_dim + kv_dim:]
             q, k, v = (maybe_quantize_output(t, ctx) for t in (q, k, v))
         else:
+            hidden = rms_norm(norm_at(stacked["input_layernorm"], i), x,
+                              cfg.rms_norm_eps)
             q = call_linear(sa["q_proj"], hidden, f"{nm}.q", ctx, True,
                             layer_idx=i)
             k = call_linear(sa["k_proj"], hidden, f"{nm}.k", ctx, True,
@@ -310,10 +326,11 @@ def _prefetch_scan_decode(params, x, cfg, ctx, caches, cos, sin, attn_mask):
             v = call_linear(sa["v_proj"], hidden, f"{nm}.v", ctx, True,
                             layer_idx=i)
         q = apply_rotary(q.reshape(b, s, nh, d), cos, sin)
-        k = apply_rotary(k.reshape(b, s, n_kv, d), cos, sin)
+        k = k.reshape(b, s, n_kv, d)      # k-rotary fuses into the writer
         v = v.reshape(b, s, n_kv, d)
 
-        cache, pos_i = stacked_cache_append(cache, i, k, v)
+        cache, pos_i = stacked_cache_append_fused(cache, i, k, v, cos, sin,
+                                                  ctx)
         bias = decode_bias(pos_i, b, s_max, attn_mask)
         a = stacked_flash_attention(cache, i, q[:, 0], bias, ctx)
         a = a[:, None].reshape(b, s, nh * d)
@@ -321,14 +338,23 @@ def _prefetch_scan_decode(params, x, cfg, ctx, caches, cos, sin, attn_mask):
                                    layer_idx=i)
 
         residual = x
-        hidden = rms_norm(norm_at(stacked["post_attention_layernorm"], i), x,
-                          cfg.rms_norm_eps)
-        if "gate_up_proj" in mlp:
+        if fuse_norm_gu:
+            gu = call_linear(
+                mlp["gate_up_proj"], x, f"{nm}.gu", ctx, layer_idx=i,
+                norm=(stacked["post_attention_layernorm"]["weight"][i],
+                      cfg.rms_norm_eps, "rms"))
+            inter = gu.shape[-1] // 2
+            gate, up = gu[..., :inter], gu[..., inter:]
+        elif "gate_up_proj" in mlp:
+            hidden = rms_norm(norm_at(stacked["post_attention_layernorm"],
+                                      i), x, cfg.rms_norm_eps)
             gu = call_linear(mlp["gate_up_proj"], hidden, f"{nm}.gu", ctx,
                              layer_idx=i)
             inter = gu.shape[-1] // 2
             gate, up = gu[..., :inter], gu[..., inter:]
         else:
+            hidden = rms_norm(norm_at(stacked["post_attention_layernorm"],
+                                      i), x, cfg.rms_norm_eps)
             gate = call_linear(mlp["gate_proj"], hidden, f"{nm}.g", ctx,
                                layer_idx=i)
             up = call_linear(mlp["up_proj"], hidden, f"{nm}.u", ctx,

@@ -239,7 +239,7 @@ def _prefetch_scan_decode(params, x, cfg, ctx, caches, attn_mask):
     from smoothquant_tpu.models.common import (
         QuantKVCache,
         decode_bias,
-        stacked_cache_append,
+        stacked_cache_append_fused,
         stacked_flash_attention,
     )
 
@@ -277,7 +277,8 @@ def _prefetch_scan_decode(params, x, cfg, ctx, caches, attn_mask):
         k = k.reshape(b, s, nh, d)
         v = v.reshape(b, s, nh, d)
 
-        cache, pos_i = stacked_cache_append(cache, i, k, v)
+        cache, pos_i = stacked_cache_append_fused(cache, i, k, v, None,
+                                                   None, ctx, rotate_k=False)
         bias = decode_bias(pos_i, b, s_max, attn_mask)
         a = stacked_flash_attention(cache, i, q[:, 0], bias, ctx,
                                     sm_scale=1.0)
