@@ -60,7 +60,11 @@ def _accum_halves(x_lo_ref, x_hi_ref, xs_lo_ref, xs_hi_ref, wp_ref,
     w_lo, w_hi = _unpack_nibbles_biased(wp_ref[:], interpret)  # (gpt, gs, TO)
 
     # static Python loop: values (w_lo/w_hi) can't be dynamically indexed in
-    # Mosaic, and gpt is a compile-time constant anyway
+    # Mosaic, and gpt is a compile-time constant anyway.  The accumulator is
+    # hoisted to a local — ONE out_ref read + ONE write per K-step instead of
+    # a VMEM read-modify-write per group (the RMW chain was ~half the scale-
+    # epilogue's VPU traffic; kernel_dissect: full 622 GB/s vs noepilogue 912)
+    acc = out_ref[:]
     for gg in range(gpt):
         x_lo = x_lo_ref[gg]
         x_hi = x_hi_ref[gg]
@@ -71,15 +75,16 @@ def _accum_halves(x_lo_ref, x_hi_ref, xs_lo_ref, xs_hi_ref, wp_ref,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
-        out_ref[:] += ((p_lo - 8 * sum_lo).astype(jnp.float32)
-                       * xs_lo_ref[gg][:, None] * ws_lo_ref[gg][None, :])
+        acc += ((p_lo - 8 * sum_lo).astype(jnp.float32)
+                * xs_lo_ref[gg][:, None] * ws_lo_ref[gg][None, :])
         p_hi = jax.lax.dot_general(
             x_hi, w_hi[gg],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
-        out_ref[:] += ((p_hi - 8 * sum_hi).astype(jnp.float32)
-                       * xs_hi_ref[gg][:, None] * ws_hi_ref[gg][None, :])
+        acc += ((p_hi - 8 * sum_hi).astype(jnp.float32)
+                * xs_hi_ref[gg][:, None] * ws_hi_ref[gg][None, :])
+    out_ref[:] = acc
 
 
 def _kernel(x_lo_ref, x_hi_ref, xs_lo_ref, xs_hi_ref, wp_ref,
@@ -115,6 +120,8 @@ def _accum_halves_stacked(x_lo_ref, x_hi_ref, xs_lo_ref, xs_hi_ref, wp_ref,
                           ws_lo_ref, ws_hi_ref, out_ref, gpt: int,
                           interpret: bool):
     w_lo, w_hi = _unpack_nibbles_biased(wp_ref[0], interpret)  # (gpt, gs, TO)
+    # accumulator hoisted to a local (see _accum_halves)
+    acc = out_ref[:]
     for gg in range(gpt):
         x_lo = x_lo_ref[gg]
         x_hi = x_hi_ref[gg]
@@ -125,15 +132,16 @@ def _accum_halves_stacked(x_lo_ref, x_hi_ref, xs_lo_ref, xs_hi_ref, wp_ref,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
-        out_ref[:] += ((p_lo - 8 * sum_lo).astype(jnp.float32)
-                       * xs_lo_ref[gg][:, None] * ws_lo_ref[0, gg][None, :])
+        acc += ((p_lo - 8 * sum_lo).astype(jnp.float32)
+                * xs_lo_ref[gg][:, None] * ws_lo_ref[0, gg][None, :])
         p_hi = jax.lax.dot_general(
             x_hi, w_hi[gg],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
-        out_ref[:] += ((p_hi - 8 * sum_hi).astype(jnp.float32)
-                       * xs_hi_ref[gg][:, None] * ws_hi_ref[0, gg][None, :])
+        acc += ((p_hi - 8 * sum_hi).astype(jnp.float32)
+                * xs_hi_ref[gg][:, None] * ws_hi_ref[0, gg][None, :])
+    out_ref[:] = acc
 
 
 def _kernel_stacked(idx_ref, x_lo_ref, x_hi_ref, xs_lo_ref, xs_hi_ref,
@@ -168,11 +176,294 @@ def _kernel_stacked_nosal(idx_ref, x_lo_ref, x_hi_ref, xs_lo_ref, xs_hi_ref,
                           ws_lo_ref, ws_hi_ref, out_ref, gpt, interpret)
 
 
+_SCALE_FLOOR = 1e-5  # matches quant.core.compute_scale / kernels.act_prep
+
+
+def _make_rawx_kernel(gpt: int, gs: int, qmax: float, k_ns_raw: int,
+                      n_sal: int, k_s: int, half_ch: int, c: int, eps: float,
+                      fuse_norm: bool, need_mask: bool, num_k: int,
+                      interpret: bool):
+    """Kernel factory for the fused act-quant int4 matmul (see
+    int4_group_matmul_stacked_rawx).  Returns a kernel whose positional ref
+    signature matches the operand list the wrapper builds (norm refs only
+    when fuse_norm, salient refs only when k_s)."""
+
+    def kernel(*refs):
+        pos = 1  # refs[0] = scalar-prefetch layer idx (consumed by index maps)
+        x_full_ref = refs[pos]; pos += 1
+        x_lo_ref = refs[pos]; pos += 1
+        x_hi_ref = refs[pos]; pos += 1
+        if fuse_norm:
+            nw_full_ref = refs[pos]; pos += 1
+            nw_lo_ref = refs[pos]; pos += 1
+            nw_hi_ref = refs[pos]; pos += 1
+        wp_ref = refs[pos]; pos += 1
+        ws_lo_ref = refs[pos]; pos += 1
+        ws_hi_ref = refs[pos]; pos += 1
+        if k_s:
+            w_sal_t_ref = refs[pos]; pos += 1
+        out_ref = refs[pos]; pos += 1
+        acc_ref = refs[pos]; pos += 1
+        xq_ref = refs[pos]; pos += 1   # (2*gpt*num_k, tile_n, gs) int8
+        sc_ref = refs[pos]; pos += 1   # (2*gpt*num_k, tile_n, 128) f32
+        r_ref = refs[pos] if fuse_norm else None
+
+        j = pl.program_id(1)
+        k = pl.program_id(2)
+
+        @pl.when(k == 0)
+        def _init():
+            if fuse_norm:
+
+                @pl.when(j == 0)
+                def _r():
+                    xf = x_full_ref[:].astype(jnp.float32)
+                    r_ref[:] = jnp.broadcast_to(
+                        jax.lax.rsqrt(
+                            jnp.sum(xf * xf, axis=1, keepdims=True) / c
+                            + eps),
+                        r_ref.shape)
+            if k_s and n_sal:
+                sal = (x_full_ref[:, k_ns_raw:k_ns_raw + n_sal]
+                       .astype(jnp.float32))
+                if fuse_norm:
+                    sal = (sal * r_ref[:, :1]
+                           * nw_full_ref[0, k_ns_raw:k_ns_raw + n_sal]
+                           .astype(jnp.float32)[None, :])
+                if k_s > n_sal:
+                    sal = jnp.concatenate(
+                        [sal, jnp.zeros((sal.shape[0], k_s - n_sal),
+                                        jnp.float32)], axis=1)
+                acc_ref[:] = jax.lax.dot_general(
+                    sal.astype(w_sal_t_ref.dtype), w_sal_t_ref[0],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        # quantize each activation group ONCE per (i, k) — at j == 0 — and
+        # cache (xq, scale) in VMEM scratch for the remaining O-tiles
+        # (quantizing inside every j step was pure redundant VPU work)
+        @pl.when(j == 0)
+        def _quantize():
+            r = r_ref[:, :1] if fuse_norm else None
+            halves = ((x_lo_ref, nw_lo_ref if fuse_norm else None, 0),
+                      (x_hi_ref, nw_hi_ref if fuse_norm else None, half_ch))
+            for hi, (x_ref_, nw_ref_, base) in enumerate(halves):
+                for gg in range(gpt):
+                    y = (x_ref_[:, gg * gs:(gg + 1) * gs]
+                         .astype(jnp.float32))
+                    if fuse_norm:
+                        y = (y * r
+                             * nw_ref_[0, gg * gs:(gg + 1) * gs]
+                             .astype(jnp.float32)[None, :])
+                    if need_mask and (base or k_ns_raw < half_ch):
+                        # zero the overlap with salient/pad cols
+                        col = (base + k * gpt * gs + gg * gs
+                               + jax.lax.broadcasted_iota(
+                                   jnp.int32, y.shape, 1))
+                        y = jnp.where(col < k_ns_raw, y, 0.0)
+                    absmax = jnp.max(jnp.abs(y), axis=1, keepdims=True)
+                    scale = jnp.maximum(absmax, _SCALE_FLOOR) / qmax
+                    slot = (hi * num_k + k) * gpt + gg
+                    xq_ref[slot] = jnp.round(y / scale).astype(jnp.int8)
+                    sc_ref[slot] = jnp.broadcast_to(scale, sc_ref.shape[1:])
+
+        w_lo, w_hi = _unpack_nibbles_biased(wp_ref[0], interpret)
+        acc = acc_ref[:]
+        for hi, (w_half, ws_ref_) in enumerate(((w_lo, ws_lo_ref),
+                                                (w_hi, ws_hi_ref))):
+            for gg in range(gpt):
+                slot = (hi * num_k + k) * gpt + gg
+                xq = xq_ref[slot]
+                scale = sc_ref[slot][:, :1]
+                s_x = jnp.sum(xq.astype(jnp.int32), axis=1, keepdims=True)
+                p = jax.lax.dot_general(
+                    xq, w_half[gg],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                acc += ((p - 8 * s_x).astype(jnp.float32) * scale
+                        * ws_ref_[0, gg][None, :])
+        acc_ref[:] = acc
+
+        @pl.when(k == num_k - 1)
+        def _fin():
+            out_ref[:] = acc.astype(out_ref.dtype)
+
+    return kernel
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("group_size", "out_dtype", "tile_o", "tile_g",
-                     "interpret", "pre_laid"),
+    static_argnames=("group_size", "act_bits", "num_salient", "eps",
+                     "out_dtype", "tile_o", "tile_g", "interpret"),
 )
+def int4_group_matmul_stacked_rawx(
+    layer_idx: jax.Array,   # (1,) int32 — which layer's weights to stream
+    x_raw: jax.Array,       # (N, C) fp — PRE-quant (and pre-norm when
+    #                         norm_w given) activations in PERMUTED order:
+    #                         [C - num_salient non-salient | salient]
+    norm_w: Optional[jax.Array],  # (C,) fp permuted RMSNorm weight or None
+    w_packed: jax.Array,    # (L, K_ns/2, O) int8 nibble-packed
+    w_scales_t: jax.Array,  # (L, G, O) f32
+    w_sal_t: jax.Array,     # (L, k_s, O) fp
+    *,
+    group_size: int,
+    act_bits: int,
+    num_salient: int,
+    eps: float = 0.0,
+    out_dtype=jnp.float32,
+    tile_o: Optional[int] = None,
+    tile_g: Optional[int] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fully-fused decode linear: (RMSNorm) + salient split + per-group
+    activation quantize + nibble-unpack int4 matmul in ONE Pallas call.
+
+    Replaces the act_prep kernel + the XLA slice/pad glue between it and
+    int4_group_matmul_stacked — each Pallas launch on the tunneled v5e
+    costs ~8-13 us of fixed overhead, and the decode scan paid it twice
+    per linear.  Quantizing inside the matmul's K-loop also produces the
+    per-token group scale in its natural sublane layout, so the epilogue's
+    per-group scale broadcast needs no cross-lane relayout (the standalone
+    kernel's (G, N) scale blocks did one per group).
+
+    Quantization semantics are bit-identical to kernels.act_prep /
+    quant.core.compute_scale: scale = max(absmax, 1e-5)/qmax in f32,
+    round-to-nearest-even.  Zero padding columns quantize to zero with the
+    floor scale.  Norm math matches act_prep.norm_quantize_acts_t (f32
+    rsqrt(mean x² + eps), "rms" only).
+    """
+    n, c = x_raw.shape
+    l_num, half, o = w_packed.shape
+    kk = 2 * half
+    g_total = kk // group_size
+    g_half = g_total // 2
+    assert w_scales_t.shape == (l_num, g_total, o)
+    k_s = w_sal_t.shape[1]
+    k_ns_raw = c - num_salient
+    assert kk >= k_ns_raw and k_s >= num_salient
+
+    if tile_o is None:
+        cands = (2048, 1024, 512, 256, 128) if o >= 8192 else (1024, 512,
+                                                               256, 128)
+        for cand in cands:
+            if o % cand == 0:
+                tile_o = cand
+                break
+    while o % tile_o:
+        tile_o //= 2
+    if tile_g is None:
+        tile_g = 16 if g_half % 16 == 0 else 8
+    while g_half % tile_g:
+        tile_g //= 2
+    while tile_g > 8 and tile_g * group_size * tile_o > 2 * 1024 * 1024:
+        tile_g //= 2
+    if tile_o < 128 or tile_g < 8:
+        raise ValueError(
+            f"stacked kernel needs tile-aligned shapes: O={o} g_half={g_half}"
+            f" (pack with align_o/align_k_groups)")
+
+    bs = tile_g * group_size          # channels per x block
+    assert half % bs == 0, "g_half % tile_g == 0 guarantees this"
+    p_ch = _ceil_to(max(c, kk), bs)   # padded x width
+    tile_n = _ceil_to(max(n, 8), 8) if n <= 128 else 128
+    n_pad = _ceil_to(n, tile_n)
+    if (n_pad, p_ch) != (n, c):
+        x_raw = jnp.pad(x_raw, ((0, n_pad - n), (0, p_ch - c)))
+
+    fuse_norm = norm_w is not None
+    if fuse_norm:
+        nw = jnp.pad(norm_w.reshape(1, -1).astype(x_raw.dtype),
+                     ((0, 0), (0, p_ch - c)))
+
+    wp4 = w_packed.reshape(l_num, g_half, group_size, o)
+    grid = (n_pad // tile_n, o // tile_o, g_half // tile_g)
+    gh = g_half // tile_g
+    need_mask = kk > k_ns_raw
+
+    in_specs = [
+        pl.BlockSpec((tile_n, p_ch), lambda i, j, k, s: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_n, bs), lambda i, j, k, s: (i, k),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_n, bs), lambda i, j, k, s, gh=gh: (i, k + gh),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [x_raw, x_raw, x_raw]
+    if fuse_norm:
+        in_specs += [
+            pl.BlockSpec((1, p_ch), lambda i, j, k, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bs), lambda i, j, k, s: (0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bs), lambda i, j, k, s, gh=gh: (0, k + gh),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands += [nw, nw, nw]
+    in_specs += [
+        pl.BlockSpec((1, tile_g, group_size, tile_o),
+                     lambda i, j, k, s: (s[0], k, 0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile_g, tile_o), lambda i, j, k, s: (s[0], k, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile_g, tile_o),
+                     lambda i, j, k, s, gh=gh: (s[0], k + gh, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands += [wp4, w_scales_t, w_scales_t]
+    if k_s:
+        in_specs.append(
+            pl.BlockSpec((1, k_s, tile_o), lambda i, j, k, s: (s[0], 0, j),
+                         memory_space=pltpu.VMEM))
+        operands.append(w_sal_t)
+
+    scratch = [
+        pltpu.VMEM((tile_n, tile_o), jnp.float32),           # acc
+        pltpu.VMEM((g_total, tile_n, group_size), jnp.int8),  # xq cache
+        pltpu.VMEM((g_total, tile_n, 128), jnp.float32),      # scale cache
+    ]
+    if fuse_norm:
+        scratch.append(pltpu.VMEM((tile_n, 128), jnp.float32))
+
+    kernel = _make_rawx_kernel(
+        gpt=tile_g, gs=group_size, qmax=float(2 ** (act_bits - 1) - 1),
+        k_ns_raw=k_ns_raw, n_sal=num_salient, k_s=k_s, half_ch=half, c=c,
+        eps=eps, fuse_norm=fuse_norm, need_mask=need_mask, num_k=gh,
+        interpret=interpret)
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((tile_n, tile_o),
+                                   lambda i, j, k, s: (i, j),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=scratch,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_pad, o), jnp.dtype(out_dtype)),
+        compiler_params=pltpu.CompilerParams(
+            # j carries the quantize cache in scratch (written at j == 0,
+            # read by later O-tiles) — it must stay sequential
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_pad * o * (kk + k_s),
+            bytes_accessed=(n_pad * p_ch * 2 + o * half
+                            + o * g_total * 4 + o * k_s * 2
+                            + n_pad * o * 2),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(layer_idx, jnp.int32).reshape(1), *operands)
+
+    return out[:n]
+
+
 def int4_group_matmul_stacked(
     layer_idx: jax.Array,  # (1,) int32 — which layer's weights to stream
     x_q: jax.Array,        # (N, K) int8 — this layer's quantized activations

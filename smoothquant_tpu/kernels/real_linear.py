@@ -152,32 +152,47 @@ def real_quant_linear(
         else:
             perm_i = packed.perm[layer_idx]
             x_perm = jnp.take(x2d, perm_i, axis=-1)
-        if norm is not None and can_fuse_norm(packed):
-            # norm + salient split + quantize + layout in ONE Pallas call
-            from smoothquant_tpu.kernels.act_prep import norm_quantize_acts_t
+        grouped = (meta.act_quant not in ("per_token", "per_tensor")
+                   and meta.act_group_size == meta.group_size)
+        norm_row, eps = None, 0.0
+        if norm is not None:
+            n_w, n_eps, n_kind = norm
+            if grouped and n_kind == "rms":
+                norm_row, eps = n_w, float(n_eps)  # fused in-kernel
+            else:  # unfusible recipe: apply the norm first
+                from smoothquant_tpu.models.common import rms_norm
 
-            norm_w, eps, kind = norm
-            x3, xs_t, x_sal = norm_quantize_acts_t(
-                x_perm, norm_w, group_size=meta.group_size,
-                act_bits=meta.act_bits, k_ns=meta.k_ns,
-                num_salient=meta.num_salient, k_s=meta.k_s, eps=eps,
-                norm_kind=kind, sal_dtype=jnp.dtype(x.dtype),
-                interpret=interpret)
-            pre = (x3, xs_t, x_sal, x2d.shape[0])
-        elif (meta.act_quant not in ("per_token", "per_tensor")
-                and meta.act_group_size == meta.group_size):
-            # fused quantize+layout kernel: ONE Pallas call instead of the
-            # ~13-op XLA chain (abs/reduce/divide/round/pad/transpose ...)
-            # that cost ~12 us of serialized fixed overhead per linear in
-            # the decode scan
+                x_perm = rms_norm({"weight": n_w}, x_perm, n_eps)
+        if grouped and x2d.shape[0] <= 32:
+            # fully-fused decode path: (RMSNorm) + salient split + per-group
+            # act quantize + int4 matmul in ONE Pallas call — the act_prep
+            # kernel + XLA glue between it and the matmul cost ~2 launches
+            # (~8-13 us fixed overhead each) per linear in the decode scan.
+            # Gated to small N: the kernel's per-(token, group) scale cache
+            # scratch scales with tile_n
+            from smoothquant_tpu.kernels.int4_group_matmul import (
+                int4_group_matmul_stacked_rawx,
+            )
+
+            y = int4_group_matmul_stacked_rawx(
+                jnp.asarray(layer_idx, jnp.int32).reshape(1),
+                x_perm, norm_row, packed.w_qt, packed.w_scales_t,
+                packed.w_sal_t.astype(x.dtype),
+                group_size=meta.group_size, act_bits=meta.act_bits,
+                num_salient=meta.num_salient, eps=eps,
+                out_dtype=out_dtype or x.dtype, interpret=interpret,
+            )
+        elif grouped:
+            # mid-size token counts: fused quantize+layout kernel feeding
+            # the stacked matmul pre-laid (two launches, no XLA chain)
             from smoothquant_tpu.kernels.act_prep import (
                 quantize_acts_grouped_t,
             )
 
-            if norm is not None:  # unfusible recipe: apply the norm first
+            if norm_row is not None:
                 from smoothquant_tpu.models.common import rms_norm
 
-                x_perm = rms_norm({"weight": norm[0]}, x_perm, norm[1])
+                x_perm = rms_norm({"weight": norm_row}, x_perm, eps)
             k_ns_raw = meta.in_features - meta.num_salient
             x_ns = x_perm[:, :k_ns_raw]
             if meta.k_ns != k_ns_raw:
@@ -189,25 +204,26 @@ def real_quant_linear(
             if meta.num_salient:
                 x_sal = x_sal.at[:, :meta.num_salient].set(
                     x_perm[:, k_ns_raw:].astype(x.dtype))
-            pre = (x3, xs_t, x_sal, x2d.shape[0])
+            y = int4_group_matmul_stacked(
+                jnp.asarray(layer_idx, jnp.int32).reshape(1),
+                x3, xs_t, packed.w_qt, packed.w_scales_t,
+                x_sal, packed.w_sal_t.astype(x.dtype),
+                group_size=meta.group_size,
+                out_dtype=out_dtype or x.dtype,
+                interpret=interpret,
+                pre_laid=x2d.shape[0],
+            )
         else:
-            if norm is not None:  # unfusible recipe: apply the norm first
-                from smoothquant_tpu.models.common import rms_norm
-
-                x_perm = rms_norm({"weight": norm[0]}, x_perm, norm[1])
             x_q, x_scales, x_sal = quantize_activations_packed_int(
                 x_perm, meta)
-            pre = (x_q, x_scales, x_sal.astype(x.dtype), None)
-        xq_or_x3, xs, x_sal, n_tok = pre
-        y = int4_group_matmul_stacked(
-            jnp.asarray(layer_idx, jnp.int32).reshape(1),
-            xq_or_x3, xs, packed.w_qt, packed.w_scales_t,
-            x_sal, packed.w_sal_t.astype(x.dtype),
-            group_size=meta.group_size,
-            out_dtype=out_dtype or x.dtype,
-            interpret=interpret,
-            pre_laid=n_tok,
-        )
+            y = int4_group_matmul_stacked(
+                jnp.asarray(layer_idx, jnp.int32).reshape(1),
+                x_q, x_scales, packed.w_qt, packed.w_scales_t,
+                x_sal.astype(x.dtype), packed.w_sal_t.astype(x.dtype),
+                group_size=meta.group_size,
+                out_dtype=out_dtype or x.dtype,
+                interpret=interpret,
+            )
         if y.shape[-1] > meta.out_features:
             y = y[..., : meta.out_features]
         if packed.bias is not None:
