@@ -347,8 +347,11 @@ def int4_group_matmul_stacked_rawx(
     assert kk >= k_ns_raw and k_s >= num_salient
 
     if tile_o is None:
-        cands = (2048, 1024, 512, 256, 128) if o >= 8192 else (1024, 512,
-                                                               256, 128)
+        # large O-tiles everywhere: with the act quantize fused in-kernel
+        # there is no act_prep kernel competing for VMEM/prefetch, and the
+        # narrow-output shapes (o_proj 4096->4096 measured 428 GB/s with
+        # 1 MB blocks) are DMA-issue-bound — fewer, larger weight DMAs win
+        cands = (2048, 1024, 512, 256, 128)
         for cand in cands:
             if o % cand == 0:
                 tile_o = cand
