@@ -72,7 +72,13 @@ def main() -> None:
     from smoothquant_tpu.utils import roofline
     from smoothquant_tpu.utils.benchtools import time_steps
 
-    qcfg = w4a4_group(group_size=64, salient_prop=0.05)
+    import dataclasses as _dc
+
+    # bf16 group scales: storage-only narrowing (kernel math stays f32);
+    # scales are 12.5% of the nibble bytes at g64 — the reference stores
+    # fp16 scales, so this matches its precision class
+    qcfg = _dc.replace(w4a4_group(group_size=64, salient_prop=0.05),
+                       scale_dtype="bfloat16")
     head_qcfg = QuantConfig(weight_quant="per_channel", act_quant="per_token",
                             quant_bits=8)
     rng = np.random.default_rng(0)

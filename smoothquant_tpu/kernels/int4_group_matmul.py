@@ -76,14 +76,16 @@ def _accum_halves(x_lo_ref, x_hi_ref, xs_lo_ref, xs_hi_ref, wp_ref,
             preferred_element_type=jnp.int32,
         )
         acc += ((p_lo - 8 * sum_lo).astype(jnp.float32)
-                * xs_lo_ref[gg][:, None] * ws_lo_ref[gg][None, :])
+                * xs_lo_ref[gg][:, None]
+                * ws_lo_ref[gg][None, :].astype(jnp.float32))
         p_hi = jax.lax.dot_general(
             x_hi, w_hi[gg],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
         acc += ((p_hi - 8 * sum_hi).astype(jnp.float32)
-                * xs_hi_ref[gg][:, None] * ws_hi_ref[gg][None, :])
+                * xs_hi_ref[gg][:, None]
+                * ws_hi_ref[gg][None, :].astype(jnp.float32))
     out_ref[:] = acc
 
 
@@ -133,14 +135,16 @@ def _accum_halves_stacked(x_lo_ref, x_hi_ref, xs_lo_ref, xs_hi_ref, wp_ref,
             preferred_element_type=jnp.int32,
         )
         acc += ((p_lo - 8 * sum_lo).astype(jnp.float32)
-                * xs_lo_ref[gg][:, None] * ws_lo_ref[0, gg][None, :])
+                * xs_lo_ref[gg][:, None]
+                * ws_lo_ref[0, gg][None, :].astype(jnp.float32))
         p_hi = jax.lax.dot_general(
             x_hi, w_hi[gg],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
         acc += ((p_hi - 8 * sum_hi).astype(jnp.float32)
-                * xs_hi_ref[gg][:, None] * ws_hi_ref[0, gg][None, :])
+                * xs_hi_ref[gg][:, None]
+                * ws_hi_ref[0, gg][None, :].astype(jnp.float32))
     out_ref[:] = acc
 
 
@@ -285,7 +289,7 @@ def _make_rawx_kernel(gpt: int, gs: int, qmax: float, k_ns_raw: int,
                     preferred_element_type=jnp.int32,
                 )
                 acc += ((p - 8 * s_x).astype(jnp.float32) * scale
-                        * ws_ref_[0, gg][None, :])
+                        * ws_ref_[0, gg][None, :].astype(jnp.float32))
         acc_ref[:] = acc
 
         @pl.when(k == num_k - 1)

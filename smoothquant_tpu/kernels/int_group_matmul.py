@@ -41,7 +41,7 @@ def _accum_groups(x3_ref, xs_ref, w3_ref, ws_ref, out_ref, gpt: int):
             preferred_element_type=jnp.int32,
         ).astype(jnp.float32)                     # (TN, TO)
         sx = xs_ref[gg][:, None]                   # (TN, 1)
-        sw = ws_ref[gg][None, :]                   # (1, TO)
+        sw = ws_ref[gg][None, :].astype(jnp.float32)  # (1, TO)
         out_ref[:] += partial * sx * sw
 
 

@@ -193,6 +193,11 @@ def pack_linear(
             w_sal_t = jnp.pad(w_sal_t, ((0, 0), (0, o_pad - o)))
             # real_quant_linear slices the kernel output back to out_features
 
+    if cfg.scale_dtype == "bfloat16":
+        # narrow STORAGE only: every consumer casts back to f32 before use,
+        # so the effective dequant scale is exactly bf16(f32 scale)
+        scales_t = scales_t.astype(jnp.bfloat16)
+
     # a no-sort, no-salient, single-group int8 recipe (e.g. the W8A8
     # per-channel lm_head) needs neither the permute gather nor the group
     # kernel — the identity layout runs ONE XLA int8 dot with a fused
@@ -367,7 +372,7 @@ def _promote_device(w_qt, w_scales_t, perm, *, group_size: int,
     k_ns = w_qt.shape[0]
     g_total = k_ns // group_size
     wf = (w_qt.astype(jnp.float32).reshape(g_total, group_size, -1)
-          * w_scales_t[:, None, :]).reshape(k_ns, -1)
+          * w_scales_t.astype(jnp.float32)[:, None, :]).reshape(k_ns, -1)
     absmax = jnp.max(jnp.abs(wf), axis=0, keepdims=True)      # (1, O)
     scale = jnp.maximum(absmax, 1e-8) / 127.0
     q8 = jnp.round(wf / scale).astype(jnp.int8)

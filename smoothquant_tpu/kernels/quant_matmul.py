@@ -55,7 +55,7 @@ def _accum_dequant(x_ns_ref, w_qt_ref, scales_t_ref, out_ref, group_size: int):
     grp = jax.lax.broadcasted_iota(jnp.int32, (tk, gpt), 1)
     sel = (chan == grp).astype(jnp.float32)
     scales_tk = jax.lax.dot_general(
-        sel, scales_t_ref[:],
+        sel, scales_t_ref[:].astype(jnp.float32),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (TK, TO)

@@ -74,7 +74,8 @@ def _identity_int8_forward(packed: PackedLinear, x2d: jax.Array,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
-    y = acc.astype(jnp.float32) * sx * packed.w_scales_t     # (N,1)x(1,O)
+    y = (acc.astype(jnp.float32) * sx
+         * packed.w_scales_t.astype(jnp.float32))            # (N,1)x(1,O)
     if meta.num_salient:
         x_sal = jnp.take(x2d, sal_idx, axis=-1).astype(packed.w_sal_t.dtype)
         y = y + jax.lax.dot_general(

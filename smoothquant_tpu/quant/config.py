@@ -54,11 +54,21 @@ class QuantConfig:
     #                             mean_std (mean+3·std) | argmax (position);
     #                             README.md:34-37 claims all three, the
     #                             reference code implements only max
+    # Storage dtype of the packed per-group weight scales.  The reference
+    # stores fp16 scales (fake_quant.py keeps the Q-DQ'd weight in the model
+    # dtype); "bfloat16" halves the scale bytes streamed per decode step
+    # (scales are 12.5% of the nibble bytes at group_size 64) at <=2^-9
+    # relative scale error — second-order next to the int4 quantization
+    # error itself.  All kernel math stays f32; only HBM storage narrows.
+    scale_dtype: str = "float32"
 
     def __post_init__(self):
         if self.sort_strategy not in ("max", "mean_std", "argmax"):
             raise ValueError(
                 "sort_strategy must be one of ('max', 'mean_std', 'argmax')")
+        if self.scale_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                "scale_dtype must be one of ('float32', 'bfloat16')")
         if self.weight_quant not in WEIGHT_QUANT_CHOICES:
             raise ValueError(f"weight_quant must be one of {WEIGHT_QUANT_CHOICES}")
         if self.act_quant not in ACT_QUANT_CHOICES:
