@@ -106,6 +106,56 @@ def can_fuse_norm(packed) -> bool:
             and m.act_group_size == m.group_size)
 
 
+def can_fuse_mlp(gu, dn, n_tokens: int) -> bool:
+    """True when the gate_up + SwiGLU + down chain can run as ONE Pallas
+    call (kernels.mlp_fused): both nibble-packed with matching grouped
+    recipes, gate_up rows pre-permuted into down's packed order
+    (fold_input_perm), decode-size token count, bias-free gate_up."""
+    from smoothquant_tpu.kernels.mlp_fused import mlp_fused_supported
+
+    if not (isinstance(gu, PackedLinear) and isinstance(dn, PackedLinear)):
+        return False
+    if gu.bias is not None:
+        return False
+    return mlp_fused_supported(gu.meta, dn.meta, n_tokens)
+
+
+def real_mlp_fused(
+    gu: PackedLinear,
+    dn: PackedLinear,
+    x: jax.Array,
+    *,
+    layer_idx: jax.Array,
+    norm: Optional[tuple] = None,  # (weight_row, eps, "rms")
+    out_dtype=None,
+    interpret: bool = False,
+) -> jax.Array:
+    """down(silu(gate(x)) * up(x)) in one fused Pallas call (decode scan).
+    Layer-stacked packs only; see kernels.mlp_fused for the layout
+    contract.  Numerics match the two-launch rawx path computed in f32."""
+    from smoothquant_tpu.kernels.mlp_fused import mlp_swiglu_fused_stacked
+
+    shape = x.shape
+    x2d = x.reshape(-1, shape[-1])
+    norm_row, eps = None, 0.0
+    if norm is not None:
+        n_w, n_eps, n_kind = norm
+        assert n_kind == "rms" and can_fuse_norm(gu)
+        norm_row, eps = n_w, float(n_eps)
+    y = mlp_swiglu_fused_stacked(
+        jnp.asarray(layer_idx, jnp.int32).reshape(1), x2d, norm_row,
+        gu.w_qt, gu.w_scales_t, gu.w_sal_t.astype(x.dtype),
+        dn.w_qt, dn.w_scales_t, dn.w_sal_t.astype(x.dtype),
+        group_size=gu.meta.group_size, act_bits=gu.meta.act_bits,
+        n_sal1=gu.meta.num_salient, n_sal2=dn.meta.num_salient,
+        gu_out_true=gu.meta.out_features, dn_out_true=dn.meta.out_features,
+        eps=eps, out_dtype=out_dtype or x.dtype, interpret=interpret,
+    )
+    if dn.bias is not None:
+        y = y + dn.bias[layer_idx].astype(y.dtype)
+    return y.reshape(*shape[:-1], y.shape[-1])
+
+
 def real_quant_linear(
     packed: PackedLinear,
     x: jax.Array,

@@ -66,6 +66,14 @@ class ForwardContext:
     #                     full-cache einsum, "auto" = kernel when the shape
     #                     supports it and the backend compiles Pallas
     #                     (TPU, or anywhere with interpret=True)
+    fuse_mlp: bool = False  # OPT-IN: run gate_up+SwiGLU+down as ONE Pallas
+    #                         megakernel (kernels/mlp_fused.py) in the
+    #                         prefetch-scan decode.  Wins 13% standalone but
+    #                         measured ~5% SLOWER inside the full decode
+    #                         scan (the scan pipeline already hides launch
+    #                         overhead; the megakernel's VMEM-resident dual
+    #                         weight sets trade against cross-kernel
+    #                         prefetch) — scripts/mlp_scan_probe.py.
 
 
 def call_linear(

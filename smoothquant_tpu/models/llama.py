@@ -287,12 +287,24 @@ def _prefetch_scan_decode(params, x, cfg, ctx, caches, cos, sin, attn_mask):
     def norm_at(node, i):
         return {"weight": node["weight"][i]}
 
-    from smoothquant_tpu.kernels.real_linear import can_fuse_norm
+    from smoothquant_tpu.kernels.real_linear import (
+        can_fuse_mlp,
+        can_fuse_norm,
+        real_mlp_fused,
+    )
 
     fuse_norm_qkv = ("qkv_proj" in stacked["self_attn"]
                      and can_fuse_norm(stacked["self_attn"]["qkv_proj"]))
     fuse_norm_gu = ("gate_up_proj" in stacked["mlp"]
                     and can_fuse_norm(stacked["mlp"]["gate_up_proj"]))
+    # OPT-IN (ctx.fuse_mlp): one Pallas call for the whole MLP (gate_up +
+    # SwiGLU + down).  Saves a launch + pipeline fill standalone, but the
+    # decode scan already hides those — measured slower in context
+    # (scripts/mlp_scan_probe.py), so it is not the default.
+    fuse_mlp = (fuse_norm_gu
+                and ctx is not None and ctx.fuse_mlp
+                and can_fuse_mlp(stacked["mlp"]["gate_up_proj"],
+                                 stacked["mlp"]["down_proj"], b * s))
 
     def body(carry, i):
         x, cache = carry
@@ -338,6 +350,14 @@ def _prefetch_scan_decode(params, x, cfg, ctx, caches, cos, sin, attn_mask):
                                    layer_idx=i)
 
         residual = x
+        if fuse_mlp:
+            down = real_mlp_fused(
+                mlp["gate_up_proj"], mlp["down_proj"], x, layer_idx=i,
+                norm=(stacked["post_attention_layernorm"]["weight"][i],
+                      cfg.rms_norm_eps, "rms"),
+                interpret=bool(ctx is not None and ctx.interpret))
+            cache = cache._replace(pos=cache.pos.at[i].add(s))
+            return (residual + down, cache), None
         if fuse_norm_gu:
             gu = call_linear(
                 mlp["gate_up_proj"], x, f"{nm}.gu", ctx, layer_idx=i,
