@@ -31,9 +31,16 @@ def _log(m):
 
 
 def build(cfg, qcfg, head_qcfg, rng):
+    """Bench-identical packed model (keep in sync with bench.py): fused
+    qkv/gate_up, shared residual basis (pre-permuted inputs, zero runtime
+    stream gathers), down-perm folded into gate_up rows, o/down outputs in
+    the shared basis."""
+    import dataclasses as dc
+
     import jax
     import jax.numpy as jnp
-    from smoothquant_tpu.kernels.pack import fold_input_perm, pack_linear
+    from smoothquant_tpu.kernels.pack import (fold_input_perm, pack_linear,
+                                              permute_output_columns)
     from smoothquant_tpu.models import llama
 
     key = jax.random.PRNGKey(2)
@@ -42,38 +49,46 @@ def build(cfg, qcfg, head_qcfg, rng):
         return {"weight": jnp.concatenate([l["weight"] for l in lins], 0),
                 "bias": None}
 
-    def pk(lin, imp):
-        return pack_linear(lin, qcfg, importance=imp, nibble=True,
-                           align_k_groups=8, align_o=2048)
+    def pk(lin, imp, absmax=None):
+        return pack_linear(lin, qcfg, importance=imp, act_absmax=absmax,
+                           nibble=True, align_k_groups=8, align_o=2048)
+
+    def mark_prep(p):
+        return dc.replace(p, meta=dc.replace(p.meta, pre_permuted=True))
 
     h_dim, i_dim = cfg.hidden_size, cfg.intermediate_size
+    shared_imp = rng.uniform(0.1, 1.0, size=(h_dim,))
+    shared_perm = None
     layers = {}
     for i in range(cfg.num_hidden_layers):
         lp = llama.init_layer_params(jax.random.fold_in(key, i), cfg)
         sa, mlp = lp["self_attn"], lp["mlp"]
-        lp["self_attn"] = {
-            "qkv_proj": pk(fuse(sa["q_proj"], sa["k_proj"], sa["v_proj"]),
-                           rng.uniform(0.1, 1.0, size=(h_dim,))),
-            "o_proj": pk(sa["o_proj"], rng.uniform(0.1, 1.0, size=(h_dim,))),
-        }
-        # fold down_proj's input perm into gate/up output rows: the decode
-        # step then needs NO activation gather for the widest (11k-channel)
-        # permutation — it becomes a load-time weight relayout
+        qkv = mark_prep(pk(fuse(sa["q_proj"], sa["k_proj"], sa["v_proj"]),
+                           shared_imp, shared_imp))
+        if shared_perm is None:
+            shared_perm = np.asarray(qkv.perm)
+        op = permute_output_columns(
+            pk(sa["o_proj"], rng.uniform(0.1, 1.0, size=(h_dim,))),
+            shared_perm)
+        lp["self_attn"] = {"qkv_proj": qkv, "o_proj": op}
         dp = pk(mlp["down_proj"], rng.uniform(0.1, 1.0, size=(i_dim,)))
         dp, gu_lin = fold_input_perm(
             dp, fuse(mlp["gate_proj"], mlp["up_proj"]), n_splits=2)
         lp["mlp"] = {
-            "gate_up_proj": pk(gu_lin, rng.uniform(0.1, 1.0, size=(h_dim,))),
-            "down_proj": dp,
+            "gate_up_proj": mark_prep(pk(gu_lin, shared_imp, shared_imp)),
+            "down_proj": permute_output_columns(dp, shared_perm),
         }
         layers[str(i)] = lp
     h = cfg.hidden_size
+    take = jnp.asarray(shared_perm)
     lm_head = llama._init_lin(jax.random.fold_in(key, 1000), cfg.vocab_size,
                               h, False, jnp.bfloat16)
+    lm_head = {"weight": jnp.take(lm_head["weight"], take, axis=1),
+               "bias": None}
     packed = {
-        "embed_tokens": {"weight": jax.random.normal(
+        "embed_tokens": {"weight": jnp.take(jax.random.normal(
             jax.random.fold_in(key, 1001), (cfg.vocab_size, h),
-            jnp.bfloat16) * 0.02},
+            jnp.bfloat16) * 0.02, take, axis=1)},
         "layers": layers,
         "norm": {"weight": jnp.ones((h,), jnp.bfloat16)},
         "lm_head": pack_linear(lm_head, head_qcfg),
@@ -96,7 +111,10 @@ def main():
     from smoothquant_tpu.quant import w4a4_group
     from smoothquant_tpu.quant.config import QuantConfig
 
-    qcfg = w4a4_group(group_size=64, salient_prop=0.05)
+    import dataclasses as _dc
+
+    qcfg = _dc.replace(w4a4_group(group_size=64, salient_prop=0.05),
+                       scale_dtype="bfloat16")
     head_qcfg = QuantConfig(weight_quant="per_channel", act_quant="per_token",
                             quant_bits=8)
     rng = np.random.default_rng(0)

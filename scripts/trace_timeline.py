@@ -40,7 +40,10 @@ def main():
     from smoothquant_tpu.quant import w4a4_group
     from smoothquant_tpu.quant.config import QuantConfig
 
-    qcfg = w4a4_group(group_size=64, salient_prop=0.05)
+    import dataclasses as _dc
+
+    qcfg = _dc.replace(w4a4_group(group_size=64, salient_prop=0.05),
+                       scale_dtype="bfloat16")
     head_qcfg = QuantConfig(weight_quant="per_channel", act_quant="per_token",
                             quant_bits=8)
     rng = np.random.default_rng(0)

@@ -66,6 +66,20 @@ class ForwardContext:
     #                     full-cache einsum, "auto" = kernel when the shape
     #                     supports it and the backend compiles Pallas
     #                     (TPU, or anywhere with interpret=True)
+    fuse_attn: str = "auto"  # prefetch-scan decode attention composition
+    #                          (int8 cache, unmasked):
+    #   "auto":  VIRTUAL-TILE attention (kernels/attn_fused.py) — attention
+    #            reads the OLD cache and folds the new position in from
+    #            registers (rotary+quantize in-kernel, bias in-kernel); the
+    #            aliased cache writer runs AFTER, off the critical path
+    #            (WAR, not RAW — attention never waits on the row write).
+    #   "fused": ALSO write the cache rows inside the attention kernel —
+    #            one launch fewer, but the row write-back costs ~9 us/layer
+    #            of dynamic_update_slice + async scale-copy glue (profiled
+    #            in scripts/trace_timeline.py), so "auto" beats it.
+    #   "off":   separate writer + bias + attention kernels — processes the
+    #            new position inside its S-tile (exact softmax order; the
+    #            fused variants fold it in last, an f32-rounding reorder).
     fuse_mlp: bool = False  # OPT-IN: run gate_up+SwiGLU+down as ONE Pallas
     #                         megakernel (kernels/mlp_fused.py) in the
     #                         prefetch-scan decode.  Wins 13% standalone but

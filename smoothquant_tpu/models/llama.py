@@ -305,6 +305,19 @@ def _prefetch_scan_decode(params, x, cfg, ctx, caches, cos, sin, attn_mask):
                 and ctx is not None and ctx.fuse_mlp
                 and can_fuse_mlp(stacked["mlp"]["gate_up_proj"],
                                  stacked["mlp"]["down_proj"], b * s))
+    # fused attention chain (k-rotary + KV quantize + cache write + flash
+    # attention in ONE kernel) for the aligned int8-cache decode; the
+    # unfused writer+bias+attention path remains for fp caches and masked
+    # (continuous-batching) decodes
+    from smoothquant_tpu.kernels.attn_fused import (
+        fused_rope_write_attn_stacked,
+        fused_virtual_attn_stacked,
+    )
+    from smoothquant_tpu.models.common import QuantKVCache as _QKV
+
+    attn_mode = ctx.fuse_attn if ctx is not None else "auto"
+    if not (isinstance(caches, _QKV) and attn_mask is None):
+        attn_mode = "off"
 
     def body(carry, i):
         x, cache = carry
@@ -341,10 +354,31 @@ def _prefetch_scan_decode(params, x, cfg, ctx, caches, cos, sin, attn_mask):
         k = k.reshape(b, s, n_kv, d)      # k-rotary fuses into the writer
         v = v.reshape(b, s, n_kv, d)
 
-        cache, pos_i = stacked_cache_append_fused(cache, i, k, v, cos, sin,
-                                                  ctx)
-        bias = decode_bias(pos_i, b, s_max, attn_mask)
-        a = stacked_flash_attention(cache, i, q[:, 0], bias, ctx)
+        if attn_mode == "auto":
+            # virtual-tile attention over the OLD cache (rotary + quantize
+            # + bias in-kernel), then the aliased in-place writer — which
+            # attention never waits on (it only READS the old rows)
+            a = fused_virtual_attn_stacked(
+                i, cache.pos[i], q[:, 0], k[:, 0], v[:, 0], cos, sin,
+                cache.k_q, cache.v_q, cache.k_scale, cache.v_scale,
+                interpret=bool(ctx is not None and ctx.interpret))
+            cache, _ = stacked_cache_append_fused(cache, i, k, v, cos,
+                                                  sin, ctx)
+        elif attn_mode == "fused":
+            # one Pallas call: k-rotary + KV quantize + cache row write +
+            # flash attention (kernels/attn_fused.py) — replaces the
+            # writer kernel + bias glue + attention kernel
+            a, kq2, vq2, ks2, vs2 = fused_rope_write_attn_stacked(
+                i, cache.pos[i], q[:, 0], k[:, 0], v[:, 0], cos, sin,
+                cache.k_q, cache.v_q, cache.k_scale, cache.v_scale,
+                interpret=bool(ctx is not None and ctx.interpret))
+            cache = cache._replace(k_q=kq2, v_q=vq2, k_scale=ks2,
+                                   v_scale=vs2)
+        else:
+            cache, pos_i = stacked_cache_append_fused(cache, i, k, v, cos,
+                                                      sin, ctx)
+            bias = decode_bias(pos_i, b, s_max, attn_mask)
+            a = stacked_flash_attention(cache, i, q[:, 0], bias, ctx)
         a = a[:, None].reshape(b, s, nh * d)
         x = residual + call_linear(sa["o_proj"], a, f"{nm}.o", ctx,
                                    layer_idx=i)

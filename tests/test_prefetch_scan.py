@@ -37,7 +37,13 @@ def test_prefetch_decode_matches_per_layer(packed_model, quant_kv):
     benign 1-ulp fusion-order differences accumulated during prefill into
     spurious mismatches on a chaotic random-weight model."""
     cfg, qcfg, packed = packed_model
-    ctx = ForwardContext(quant=qcfg, compute="int", interpret=True)
+    # fuse_attn="off": this test pins BIT-LEVEL parity with the per-layer
+    # path; the fused attention kernel folds the new position into the
+    # streaming softmax last (f32-rounding reorder), which a chaotic
+    # random-weight model amplifies through int4 quantization boundaries.
+    # The fused path has its own parity tests in tests/test_attn_fused.py.
+    ctx = ForwardContext(quant=qcfg, compute="int", interpret=True,
+                         fuse_attn="off")
     rng = np.random.default_rng(2)
     prompt = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(2, 5)))
 
