@@ -42,10 +42,13 @@ def _ceil_to(x: int, m: int) -> int:
 
 
 def _flash_head(q, k_tile, v_tile, bias_row, ks_row, vs_row, sm_scale,
-                m_ref, l_ref, acc_ref, r0, is_first, is_last, o_ref, j):
+                m_ref, l_ref, acc_ref, r0, is_first, is_last, o_ref, j,
+                alibi_row=None):
     """One (head, S-tile) of streaming softmax.  q: (R, D); k/v tile:
     (TS, D); bias_row/ks_row/vs_row: (1, TS).  Scratch rows [r0, r0+R);
-    output written to o_ref[0, j] on the last S-tile."""
+    output written to o_ref[0, j] on the last S-tile.  alibi_row: optional
+    (1, TS) per-head additive ALiBi term (slope * key position), applied
+    AFTER the KV-scale multiply like the mask bias."""
     rp = q.shape[0]
     rows = slice(r0, r0 + rp)
     scores = jax.lax.dot_general(
@@ -55,6 +58,8 @@ def _flash_head(q, k_tile, v_tile, bias_row, ks_row, vs_row, sm_scale,
     ) * sm_scale                                             # (R, TS)
     if ks_row is not None:
         scores = scores * ks_row.astype(jnp.float32)
+    if alibi_row is not None:
+        scores = scores + alibi_row
     scores = scores + bias_row.astype(jnp.float32)
 
     m_prev = m_ref[rows, :1]                                 # (R, 1)
@@ -87,25 +92,40 @@ def _flash_head(q, k_tile, v_tile, bias_row, ks_row, vs_row, sm_scale,
         o_ref[0, j] = (acc_new / denom).astype(o_ref.dtype)
 
 
-def _kernel_fp(idx_ref, q_ref, k_ref, v_ref, bias_ref, o_ref,
-               m_ref, l_ref, acc_ref, *, sm_scale: float, hc: int, rp: int):
+def _alibi_row(sl_ref, j: int, ts: int):
+    """(1, TS) slope_j * key_position for the current S-tile."""
+    if sl_ref is None:
+        return None
+    col = (pl.program_id(2) * ts
+           + jax.lax.broadcasted_iota(jnp.int32, (1, ts), 1))
+    return sl_ref[0, j:j + 1, :1] * col.astype(jnp.float32)
+
+
+def _kernel_fp(idx_ref, q_ref, k_ref, v_ref, bias_ref, *rest,
+               sm_scale: float, hc: int, rp: int, alibi: bool):
     del idx_ref  # consumed by the index maps
+    sl_ref = rest[0] if alibi else None
+    o_ref, m_ref, l_ref, acc_ref = rest[1 if alibi else 0:]
     st = pl.program_id(2)
     n_st = pl.num_programs(2)
+    ts = k_ref.shape[3]
     for j in range(hc):
         _flash_head(
             q_ref[0, j], k_ref[0, 0, j], v_ref[0, 0, j], bias_ref[0, 0],
             None, None, sm_scale, m_ref, l_ref, acc_ref, j * rp,
             st == 0, st == n_st - 1, o_ref, j,
+            alibi_row=_alibi_row(sl_ref, j, ts),
         )
 
 
 def _kernel_int8(idx_ref, q_ref, k_ref, v_ref, bias_ref, ks_ref, vs_ref,
-                 o_ref, m_ref, l_ref, acc_ref, *, sm_scale: float, hc: int,
-                 rp: int):
+                 *rest, sm_scale: float, hc: int, rp: int, alibi: bool):
     del idx_ref
+    sl_ref = rest[0] if alibi else None
+    o_ref, m_ref, l_ref, acc_ref = rest[1 if alibi else 0:]
     st = pl.program_id(2)
     n_st = pl.num_programs(2)
+    ts = k_ref.shape[3]
     for j in range(hc):
         _flash_head(
             q_ref[0, j], k_ref[0, 0, j].astype(jnp.bfloat16),
@@ -113,18 +133,22 @@ def _kernel_int8(idx_ref, q_ref, k_ref, v_ref, bias_ref, ks_ref, vs_ref,
             bias_ref[0, 0], ks_ref[0, 0, j:j + 1], vs_ref[0, 0, j:j + 1],
             sm_scale, m_ref, l_ref, acc_ref, j * rp,
             st == 0, st == n_st - 1, o_ref, j,
+            alibi_row=_alibi_row(sl_ref, j, ts),
         )
 
 
 def _pick_h_chunk(n_kv: int, ts: int, d: int, itemsize: int) -> int:
     """Heads per grid step: big enough to amortize DMA issue latency
-    (≥512 KB per operand), small enough to double-buffer in VMEM (4 MB
-    single-buffer budget).  Must be 8-divisible or the full H_kv axis so
-    the (hc, ts) scale block is Mosaic-legal."""
+    (the kernel is issue-bound, not bandwidth-bound, below ~1 MB/operand —
+    hc=16 measured 425 GB/s vs 700+ for the matmul kernels), small enough
+    to double-buffer in VMEM (4 MB single-buffer budget).  Must be
+    8-divisible or the full H_kv axis so the (hc, ts) scale block is
+    Mosaic-legal."""
     budget = 4 * 1024 * 1024
     if n_kv <= 16 and 2 * n_kv * ts * d * itemsize <= budget:
         return n_kv
-    for c in (16, 8):
+    for c in (16, 8):  # hc=32 (4 MB/step) measured 3x SLOWER: the 8 MB of
+        #                double-buffered tiles starve the pipeline
         if n_kv % c == 0 and 2 * c * ts * d * itemsize <= budget:
             return c
     return 1  # single-head fallback (scale block legal only for n_kv == 1)
@@ -139,6 +163,9 @@ def decode_attention_stacked(
     bias: jax.Array,                   # (B, S) f32 — this layer's mask bias
     k_scale: Optional[jax.Array] = None,   # (L, B, H_kv, S) when k is int8
     v_scale: Optional[jax.Array] = None,
+    alibi_slopes: Optional[jax.Array] = None,  # (H,) f32 — per-head ALiBi;
+    #                                    score += slope_h * key_pos (Bloom;
+    #                                    requires H == H_kv)
     *,
     sm_scale: Optional[float] = None,
     interpret: bool = False,
@@ -174,6 +201,9 @@ def decode_attention_stacked(
     out_spec = pl.BlockSpec((1, hc, rp, d), lambda bb, hh, st, i: (bb, hh, 0, 0),
                             memory_space=pltpu.VMEM)
 
+    alibi = alibi_slopes is not None
+    if alibi:
+        assert rep == 1, "ALiBi slopes are per q-head (MHA only)"
     if k_scale is not None:
         # raw (L, B, H_kv, S) scales: the (hc, ts) block's last two dims are
         # Mosaic-legal (hc is 8-divisible or the full H_kv axis), so no 6-D
@@ -185,14 +215,22 @@ def decode_attention_stacked(
             lambda bb, hh, st, i: (i[0], bb, hh, st),
             memory_space=pltpu.VMEM)
         kernel = functools.partial(_kernel_int8, sm_scale=sm_scale, hc=hc,
-                                   rp=rp)
+                                   rp=rp, alibi=alibi)
         in_specs = [q_spec, kv_spec, kv_spec, bias_spec, sc_spec, sc_spec]
-        operands = (q4, k, v, bias4, k_scale, v_scale)
+        operands = [q4, k, v, bias4, k_scale, v_scale]
     else:
         kernel = functools.partial(_kernel_fp, sm_scale=sm_scale, hc=hc,
-                                   rp=rp)
+                                   rp=rp, alibi=alibi)
         in_specs = [q_spec, kv_spec, kv_spec, bias_spec]
-        operands = (q4, k, v, bias4)
+        operands = [q4, k, v, bias4]
+    if alibi:
+        sl = jnp.broadcast_to(
+            alibi_slopes.astype(jnp.float32).reshape(1, n_kv, 1),
+            (1, n_kv, 128))
+        in_specs.append(pl.BlockSpec(
+            (1, hc, 128), lambda bb, hh, st, i: (0, hh, 0),
+            memory_space=pltpu.VMEM))
+        operands.append(sl)
 
     out = pl.pallas_call(
         kernel,
@@ -245,6 +283,7 @@ def decode_attention(
     bias: jax.Array,                   # (B, S) f32 additive mask (0 / -inf)
     k_scale: Optional[jax.Array] = None,   # (B, H_kv, S) f32 when k is int8
     v_scale: Optional[jax.Array] = None,
+    alibi_slopes: Optional[jax.Array] = None,  # (H,) f32 (Bloom)
     *,
     sm_scale: Optional[float] = None,
     interpret: bool = False,
@@ -261,5 +300,6 @@ def decode_attention(
         jnp.zeros((1,), jnp.int32), q, k[None], v[None], bias,
         None if k_scale is None else k_scale[None],
         None if v_scale is None else v_scale[None],
+        alibi_slopes,
         sm_scale=sm_scale, interpret=interpret,
     )

@@ -127,6 +127,47 @@ def _alibi_attention(q, k, v, slopes, causal_offset, valid_len, attn_mask):
     return jnp.einsum("bhqk,bhkd->bqhd", probs, v).astype(q.dtype)
 
 
+def _cached_alibi_attention(q, cache, slopes, offset, ctx, attn_mask):
+    """Flash-kernel / einsum dispatch for ALiBi decode over a cache — the
+    Bloom twin of common.cached_attention (which handles the non-ALiBi
+    archs).  The kernel applies score += slope_h * key_pos in-kernel."""
+    from smoothquant_tpu.kernels import decode_attention as da
+    from smoothquant_tpu.models.common import QuantKVCache
+
+    b, sq, nh, d = q.shape
+    quant = isinstance(cache, QuantKVCache)
+    kbuf = cache.k_q if quant else cache.k
+    s = kbuf.shape[2]
+    mode = ctx.attn if ctx is not None else "auto"
+    interpret = bool(ctx is not None and ctx.interpret)
+    use_kernel = (
+        mode != "einsum"
+        and sq == 1
+        and da.supported(s, nh, nh, d)
+        and (mode == "kernel" or quant)
+        and (mode == "kernel" or interpret
+             or jax.default_backend() == "tpu")
+    )
+    if use_kernel:
+        valid = jnp.broadcast_to(jnp.asarray(cache.pos, jnp.int32), (b,))
+        col = jax.lax.broadcasted_iota(jnp.int32, (b, s), 1)
+        ok = col < valid[:, None]
+        if attn_mask is not None:
+            ok = jnp.logical_and(ok, attn_mask.astype(bool))
+        bias = jnp.where(ok, 0.0, NEG_INF).astype(jnp.float32)
+        if quant:
+            out = da.decode_attention(
+                q[:, 0], cache.k_q, cache.v_q, bias,
+                cache.k_scale, cache.v_scale, slopes, interpret=interpret)
+        else:
+            out = da.decode_attention(
+                q[:, 0], cache.k, cache.v, bias, None, None, slopes,
+                interpret=interpret)
+        return out[:, None]
+    ck, cv = cache.read()
+    return _alibi_attention(q, ck, cv, slopes, offset, cache.pos, attn_mask)
+
+
 def _decoder_layer(lp, x, cfg, name, slopes, ctx, cache, attn_mask):
     b, s, _ = x.shape
     nh, d = cfg.num_attention_heads, cfg.head_dim
@@ -141,9 +182,7 @@ def _decoder_layer(lp, x, cfg, name, slopes, ctx, cache, attn_mask):
     if cache is not None:
         offset = cache.pos
         cache = cache.update(k, v)
-        ck, cv = cache.read()
-        a = _alibi_attention(q, ck, cv, slopes, offset,
-                             cache.pos, attn_mask)
+        a = _cached_alibi_attention(q, cache, slopes, offset, ctx, attn_mask)
     else:
         a = _alibi_attention(q, to_head_major(k), to_head_major(v),
                              slopes, 0, None, attn_mask)
@@ -175,12 +214,100 @@ def stack_layers(params: dict, cfg: BloomConfig) -> dict:
 
 
 def stacked_caches(cfg: BloomConfig, batch: int, max_len: int, dtype,
-                   pos: int = 0) -> KVCache:
-    """A scan-ready KV cache: every field carries a leading layers axis."""
+                   pos: int = 0, quant_kv: bool = False):
+    """A scan-ready KV cache: every field carries a leading layers axis.
+    quant_kv=True builds the INT8 cache consumed in place by the fused
+    flash-decode kernel (half the per-step cache read)."""
+    from smoothquant_tpu.models.common import QuantKVCache
+
     shape = (cfg.num_hidden_layers, batch, cfg.num_attention_heads, max_len,
              cfg.head_dim)
+    poss = jnp.full((cfg.num_hidden_layers,), pos, jnp.int32)
+    if quant_kv:
+        return QuantKVCache(
+            k_q=jnp.zeros(shape, jnp.int8), v_q=jnp.zeros(shape, jnp.int8),
+            k_scale=jnp.zeros(shape[:4], jnp.float32),
+            v_scale=jnp.zeros(shape[:4], jnp.float32),
+            pos=poss,
+        )
     return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
-                   pos=jnp.full((cfg.num_hidden_layers,), pos, jnp.int32))
+                   pos=poss)
+
+
+def _prefetch_scan_decode(params, x, cfg, ctx, caches, slopes, attn_mask):
+    """Single-token decode over stacked PACKED layers without scan-slice
+    copies — the Bloom twin of opt._prefetch_scan_decode: scalar-prefetch
+    kernels stream only layer i's weight/KV tiles; the flash decode
+    attention applies the per-head ALiBi term in-kernel (score +=
+    slope_h * key_pos, matching _alibi_attention)."""
+    from smoothquant_tpu.models.common import (
+        QuantKVCache,
+        decode_bias,
+        stacked_cache_append_fused,
+        stacked_flash_attention,
+    )
+
+    stacked = params["layers"]["stacked"]
+    b, s, h = x.shape
+    nh, d = cfg.num_attention_heads, cfg.head_dim
+    s_max = (caches.k_q if isinstance(caches, QuantKVCache)
+             else caches.k).shape[3]
+
+    def norm_at(node, i):
+        return {"weight": node["weight"][i], "bias": node["bias"][i]}
+
+    def body(carry, i):
+        x, cache = carry
+        sa = stacked["self_attention"]
+        nm = "transformer.h.scan"
+        residual = x
+        hidden = layer_norm(norm_at(stacked["input_layernorm"], i), x,
+                            cfg.layer_norm_epsilon)
+        fused = call_linear(sa["query_key_value"], hidden,
+                            f"{nm}.self_attention.query_key_value", ctx,
+                            True, layer_idx=i)
+        qkv = fused.reshape(b, s, nh, 3, d)
+        q, k, v = qkv[..., 0, :], qkv[..., 1, :], qkv[..., 2, :]
+
+        cache, pos_i = stacked_cache_append_fused(cache, i, k, v, None,
+                                                  None, ctx, rotate_k=False)
+        bias = decode_bias(pos_i, b, s_max, attn_mask)
+        a = stacked_flash_attention(cache, i, q[:, 0], bias, ctx,
+                                    alibi_slopes=slopes)
+        a = a[:, None].reshape(b, s, nh * d)
+        x = residual + call_linear(sa["dense"], a,
+                                   f"{nm}.self_attention.dense", ctx,
+                                   layer_idx=i)
+
+        residual = x
+        hidden = layer_norm(norm_at(stacked["post_attention_layernorm"], i),
+                            x, cfg.layer_norm_epsilon)
+        h1 = call_linear(stacked["mlp"]["dense_h_to_4h"], hidden,
+                         f"{nm}.mlp.dense_h_to_4h", ctx, layer_idx=i)
+        h2 = call_linear(stacked["mlp"]["dense_4h_to_h"],
+                         jax.nn.gelu(h1, approximate=False),
+                         f"{nm}.mlp.dense_4h_to_h", ctx, layer_idx=i)
+        cache = cache._replace(pos=cache.pos.at[i].add(s))
+        return (residual + h2, cache), None
+
+    (x, caches), _ = jax.lax.scan(
+        body, (x, caches), jnp.arange(cfg.num_hidden_layers))
+    return x, caches
+
+
+def _prefetch_capable(params, cfg, ctx, caches, s: int) -> bool:
+    from smoothquant_tpu.kernels import decode_attention as da
+    from smoothquant_tpu.models.common import (
+        QuantKVCache,
+        prefetch_tree_capable,
+    )
+
+    if not prefetch_tree_capable(params["layers"].get("stacked"), ctx,
+                                 caches, s):
+        return False
+    kbuf = caches.k_q if isinstance(caches, QuantKVCache) else caches.k
+    return da.supported(kbuf.shape[3], cfg.num_attention_heads,
+                        cfg.num_attention_heads, cfg.head_dim)
 
 
 def forward(
@@ -199,7 +326,10 @@ def forward(
     x = layer_norm(params["word_embeddings_layernorm"], x, cfg.layer_norm_epsilon)
     slopes = jnp.asarray(alibi_slopes(nh))
 
-    if stacked_mode:
+    if stacked_mode and _prefetch_capable(params, cfg, ctx, caches, s):
+        x, new_caches = _prefetch_scan_decode(params, x, cfg, ctx, caches,
+                                              slopes, attn_mask)
+    elif stacked_mode:
         assert ctx is None or ctx.taps is None, "taps unsupported with scan"
 
         def body(carry, layer_in):

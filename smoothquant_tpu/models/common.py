@@ -488,14 +488,15 @@ def prefetch_tree_capable(stacked, ctx, caches, s: int) -> bool:
     if s != 1 or caches is None or not hasattr(caches, "pos"):
         return False
     if ctx is not None and (ctx.taps is not None or ctx.tp_axis is not None
+                            or ctx.ep_axis is not None
                             or ctx.attn == "einsum"):
         return False
     if stacked is None or not isinstance(stacked, dict):
         return False
     if caches.pos.ndim != 1:  # per-slot (L, B) positions unsupported here
         return False
-    sa = stacked.get("self_attn", {})
-    qp = sa.get("qkv_proj", sa.get("q_proj"))
+    sa = stacked.get("self_attn", stacked.get("self_attention", {}))
+    qp = sa.get("qkv_proj", sa.get("query_key_value", sa.get("q_proj")))
     if isinstance(qp, dict) and "weight_t" in qp:
         # transposed-fp tree: every linear must be weight_t and tileable —
         # the stacked kernel cannot pad loop-invariant weights in-jit
@@ -599,11 +600,13 @@ def decode_bias(pos_i, b: int, s_max: int, attn_mask) -> jax.Array:
     return jnp.where(ok, 0.0, da.NEG_INF).astype(jnp.float32)
 
 
-def stacked_flash_attention(cache, i, q_bhd, bias, ctx, sm_scale=None):
+def stacked_flash_attention(cache, i, q_bhd, bias, ctx, sm_scale=None,
+                            alibi_slopes=None):
     """Layer-i decode attention over a stacked (quant or fp) cache via the
     scalar-prefetch flash kernel.  q_bhd: (B, H, D); returns (B, H, D).
     sm_scale=1.0 for archs that pre-scale q (OPT folds 1/sqrt(d) into the
-    projection, reference opt.py:63-66)."""
+    projection, reference opt.py:63-66).  alibi_slopes: (H,) per-head
+    ALiBi slopes (Bloom)."""
     from smoothquant_tpu.kernels import decode_attention as da
 
     idx = jnp.asarray(i, jnp.int32).reshape(1)
@@ -611,8 +614,8 @@ def stacked_flash_attention(cache, i, q_bhd, bias, ctx, sm_scale=None):
     if isinstance(cache, QuantKVCache):
         return da.decode_attention_stacked(
             idx, q_bhd, cache.k_q, cache.v_q, bias,
-            cache.k_scale, cache.v_scale, sm_scale=sm_scale,
-            interpret=interp)
+            cache.k_scale, cache.v_scale, alibi_slopes,
+            sm_scale=sm_scale, interpret=interp)
     return da.decode_attention_stacked(
-        idx, q_bhd, cache.k, cache.v, bias, sm_scale=sm_scale,
-        interpret=interp)
+        idx, q_bhd, cache.k, cache.v, bias, None, None, alibi_slopes,
+        sm_scale=sm_scale, interpret=interp)

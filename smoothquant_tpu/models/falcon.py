@@ -198,12 +198,116 @@ def stack_layers(params: dict, cfg: FalconConfig) -> dict:
 
 
 def stacked_caches(cfg: FalconConfig, batch: int, max_len: int, dtype,
-                   pos: int = 0) -> KVCache:
-    """A scan-ready KV cache: every field carries a leading layers axis."""
+                   pos: int = 0, quant_kv: bool = False):
+    """A scan-ready KV cache: every field carries a leading layers axis.
+    quant_kv=True builds the INT8 cache consumed in place by the fused
+    flash-decode kernel (half the per-step cache read)."""
+    from smoothquant_tpu.models.common import QuantKVCache
+
     shape = (cfg.num_hidden_layers, batch, cfg.effective_kv_heads, max_len,
              cfg.head_dim)
+    poss = jnp.full((cfg.num_hidden_layers,), pos, jnp.int32)
+    if quant_kv:
+        return QuantKVCache(
+            k_q=jnp.zeros(shape, jnp.int8), v_q=jnp.zeros(shape, jnp.int8),
+            k_scale=jnp.zeros(shape[:4], jnp.float32),
+            v_scale=jnp.zeros(shape[:4], jnp.float32),
+            pos=poss,
+        )
     return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
-                   pos=jnp.full((cfg.num_hidden_layers,), pos, jnp.int32))
+                   pos=poss)
+
+
+def _prefetch_scan_decode(params, x, cfg, ctx, caches, cos, sin, attn_mask):
+    """Single-token decode over stacked PACKED layers without scan-slice
+    copies — the Falcon twin of opt._prefetch_scan_decode (covers the
+    new-decoder, parallel-attn, and classic block layouts; MQA/GQA KV
+    heads ride the flash kernel's rep axis)."""
+    from smoothquant_tpu.models.common import (
+        QuantKVCache,
+        decode_bias,
+        stacked_cache_append_fused,
+        stacked_flash_attention,
+    )
+
+    stacked = params["layers"]["stacked"]
+    b, s, h = x.shape
+    nh, d = cfg.num_attention_heads, cfg.head_dim
+    eps = cfg.layer_norm_epsilon
+    s_max = (caches.k_q if isinstance(caches, QuantKVCache)
+             else caches.k).shape[3]
+
+    def norm_at(node, i):
+        return {"weight": node["weight"][i], "bias": node["bias"][i]}
+
+    def body(carry, i):
+        x, cache = carry
+        sa = stacked["self_attention"]
+        nm = "transformer.h.scan"
+        residual = x
+        if cfg.new_decoder_architecture:
+            attn_in = layer_norm(norm_at(stacked["ln_attn"], i), x, eps)
+            mlp_in = layer_norm(norm_at(stacked["ln_mlp"], i), x, eps)
+        else:
+            attn_in = layer_norm(norm_at(stacked["input_layernorm"], i), x,
+                                 eps)
+            mlp_in = attn_in  # parallel_attn shares the single LN
+
+        fused = call_linear(sa["query_key_value"], attn_in,
+                            f"{nm}.self_attention.query_key_value", ctx,
+                            True, layer_idx=i)
+        q, k, v = _split_qkv(fused, cfg)
+        q = apply_rotary(q, cos, sin)    # k-rotary fuses into the writer
+
+        cache, pos_i = stacked_cache_append_fused(cache, i, k, v, cos, sin,
+                                                  ctx)
+        bias = decode_bias(pos_i, b, s_max, attn_mask)
+        a = stacked_flash_attention(cache, i, q[:, 0], bias, ctx)
+        a = a[:, None].reshape(b, s, nh * d)
+        attn_out = call_linear(sa["dense"], a,
+                               f"{nm}.self_attention.dense", ctx,
+                               layer_idx=i)
+
+        if cfg.parallel_attn or cfg.new_decoder_architecture:
+            h1 = call_linear(stacked["mlp"]["dense_h_to_4h"], mlp_in,
+                             f"{nm}.mlp.dense_h_to_4h", ctx, layer_idx=i)
+            mlp_out = call_linear(stacked["mlp"]["dense_4h_to_h"],
+                                  jax.nn.gelu(h1),
+                                  f"{nm}.mlp.dense_4h_to_h", ctx,
+                                  layer_idx=i)
+            x = residual + attn_out + mlp_out
+        else:
+            x = residual + attn_out
+            residual = x
+            mlp_in2 = layer_norm(
+                norm_at(stacked["post_attention_layernorm"], i), x, eps)
+            h1 = call_linear(stacked["mlp"]["dense_h_to_4h"], mlp_in2,
+                             f"{nm}.mlp.dense_h_to_4h", ctx, layer_idx=i)
+            x = residual + call_linear(stacked["mlp"]["dense_4h_to_h"],
+                                       jax.nn.gelu(h1),
+                                       f"{nm}.mlp.dense_4h_to_h", ctx,
+                                       layer_idx=i)
+        cache = cache._replace(pos=cache.pos.at[i].add(s))
+        return (x, cache), None
+
+    (x, caches), _ = jax.lax.scan(
+        body, (x, caches), jnp.arange(cfg.num_hidden_layers))
+    return x, caches
+
+
+def _prefetch_capable(params, cfg, ctx, caches, s: int) -> bool:
+    from smoothquant_tpu.kernels import decode_attention as da
+    from smoothquant_tpu.models.common import (
+        QuantKVCache,
+        prefetch_tree_capable,
+    )
+
+    if not prefetch_tree_capable(params["layers"].get("stacked"), ctx,
+                                 caches, s):
+        return False
+    kbuf = caches.k_q if isinstance(caches, QuantKVCache) else caches.k
+    return da.supported(kbuf.shape[3], cfg.num_attention_heads,
+                        cfg.effective_kv_heads, cfg.head_dim)
 
 
 def forward(
@@ -230,7 +334,10 @@ def forward(
         positions = start + jax.lax.broadcasted_iota(jnp.int32, (b, s), 1)
     cos, sin = rotary_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
 
-    if stacked_mode:
+    if stacked_mode and _prefetch_capable(params, cfg, ctx, caches, s):
+        x, new_caches = _prefetch_scan_decode(params, x, cfg, ctx, caches,
+                                              cos, sin, attn_mask)
+    elif stacked_mode:
         assert ctx is None or ctx.taps is None, "taps unsupported with scan"
 
         def body(carry, layer_in):

@@ -158,40 +158,57 @@ def moe_capacity(n_tokens: int, cfg: MixtralConfig,
     return max(1, min(n_tokens, cap))
 
 
-def _route(bp, x, cfg, layer_name, ctx):
+def _route(bp, x, cfg, layer_name, ctx, layer_idx=None):
     """Router: softmax over gate logits, top-k, renormalized (HF-exact)."""
-    router_logits = call_linear(bp["gate"], x, f"{layer_name}.gate", ctx)
+    router_logits = call_linear(bp["gate"], x, f"{layer_name}.gate", ctx,
+                                layer_idx=layer_idx)
     probs = jax.nn.softmax(router_logits.astype(jnp.float32), axis=-1)
     top_p, top_idx = jax.lax.top_k(probs, cfg.num_experts_per_tok)
     top_p = top_p / jnp.sum(top_p, axis=-1, keepdims=True)  # renormalize (HF)
     return top_p, top_idx
 
 
-def _expert_mlp(ep, x2d, pre, ctx):
-    g = call_linear(ep["w1"], x2d, f"{pre}.w1", ctx)
-    u = call_linear(ep["w3"], x2d, f"{pre}.w3", ctx)
-    return call_linear(ep["w2"], jax.nn.silu(g) * u, f"{pre}.w2", ctx)
+def _expert_mlp(ep, x2d, pre, ctx, layer_idx=None):
+    g = call_linear(ep["w1"], x2d, f"{pre}.w1", ctx, layer_idx=layer_idx)
+    u = call_linear(ep["w3"], x2d, f"{pre}.w3", ctx, layer_idx=layer_idx)
+    return call_linear(ep["w2"], jax.nn.silu(g) * u, f"{pre}.w2", ctx,
+                       layer_idx=layer_idx)
 
 
-def _moe_block_dense(bp, x, cfg, layer_name, ctx):
-    top_p, top_idx = _route(bp, x, cfg, layer_name, ctx)
+def _moe_block_dense(bp, x, cfg, layer_name, ctx, layer_idx=None,
+                     experts_flat=None):
+    top_p, top_idx = _route(bp, x, cfg, layer_name, ctx, layer_idx=layer_idx)
     one_hot = jax.nn.one_hot(top_idx, cfg.num_local_experts, dtype=top_p.dtype)
     weights = jnp.sum(one_hot * top_p[..., None], axis=-2)  # (B, S, E)
 
-    experts, e_local = _experts_view(bp)
+    if experts_flat is not None:
+        e_local = cfg.num_local_experts
+    else:
+        experts, e_local = _experts_view(bp)
     out = jnp.zeros_like(x, dtype=jnp.float32)
     for e in range(e_local):
-        y = _expert_mlp(experts[e], x, f"{layer_name}.experts.{e}", ctx)
+        if experts_flat is not None:
+            y = _expert_mlp(experts_flat, x, f"{layer_name}.experts.{e}",
+                            ctx, layer_idx=layer_idx * e_local + e)
+        else:
+            y = _expert_mlp(experts[e], x, f"{layer_name}.experts.{e}", ctx)
         out = out + y.astype(jnp.float32) * weights[..., e : e + 1].astype(jnp.float32)
     return out.astype(x.dtype)
 
 
-def _moe_block_sparse(bp, x, cfg, layer_name, ctx):
+def _moe_block_sparse(bp, x, cfg, layer_name, ctx, layer_idx=None,
+                      experts_flat=None):
     """Capacity-bounded token-gather dispatch: each expert computes only its
     routed tokens.  Numerically identical to the dense path whenever no
     token exceeds capacity (overflow assignments are dropped, as in
     standard MoE serving).  Under expert parallelism (ctx.ep_axis) each
     device holds E/ep experts; contributions are psum-combined.
+
+    layer_idx / experts_flat: prefetch-scan decode — experts_flat carries
+    (L*E, ...)-leading expert leaves (the (L, E) axes flattened) and expert
+    e of layer layer_idx streams via scalar-prefetch index
+    layer_idx*E + e, so the full MoE weight stack rides the scan without
+    per-iteration slice copies.
     """
     b, s, h = x.shape
     n = b * s
@@ -199,7 +216,7 @@ def _moe_block_sparse(bp, x, cfg, layer_name, ctx):
     e_total = cfg.num_local_experts
     xf = x.reshape(n, h)
 
-    top_p, top_idx = _route(bp, x, cfg, layer_name, ctx)
+    top_p, top_idx = _route(bp, x, cfg, layer_name, ctx, layer_idx=layer_idx)
     cf = ctx.moe_capacity_factor if ctx is not None else 2.0
     capacity = moe_capacity(n, cfg, cf)
 
@@ -217,12 +234,15 @@ def _moe_block_sparse(bp, x, cfg, layer_name, ctx):
     pos = jnp.arange(nk, dtype=jnp.int32) - starts[se]
     keep = pos < capacity
 
-    experts, e_local = _experts_view(bp)
-    if ctx is not None and ctx.ep_axis is not None:
-        offset = jax.lax.axis_index(ctx.ep_axis) * e_local
+    if experts_flat is not None:
+        e_local, offset = e_total, 0
     else:
-        offset = 0
-        assert e_local == e_total
+        experts, e_local = _experts_view(bp)
+        if ctx is not None and ctx.ep_axis is not None:
+            offset = jax.lax.axis_index(ctx.ep_axis) * e_local
+        else:
+            offset = 0
+            assert e_local == e_total
     le = se - offset
     mine = keep & (le >= 0) & (le < e_local)
 
@@ -234,6 +254,11 @@ def _moe_block_sparse(bp, x, cfg, layer_name, ctx):
 
     ys = []
     for e in range(e_local):
+        if experts_flat is not None:
+            ys.append(_expert_mlp(experts_flat, disp[e],
+                                  f"{layer_name}.experts.{e}", ctx,
+                                  layer_idx=layer_idx * e_total + e))
+            continue
         # offset is a traced axis_index under EP — use a local tap name then
         name_e = e if isinstance(offset, int) else f"local{e}"
         ys.append(_expert_mlp(experts[e], disp[e],
@@ -251,12 +276,16 @@ def _moe_block_sparse(bp, x, cfg, layer_name, ctx):
 
 
 def _moe_block(bp: dict, x: jax.Array, cfg: MixtralConfig, layer_name: str,
-               ctx: Optional[ForwardContext]) -> jax.Array:
+               ctx: Optional[ForwardContext], layer_idx=None,
+               experts_flat=None) -> jax.Array:
     sparse = (ctx is not None
               and (ctx.moe_dispatch == "sparse" or ctx.ep_axis is not None))
     if sparse:
-        return _moe_block_sparse(bp, x, cfg, layer_name, ctx)
-    return _moe_block_dense(bp, x, cfg, layer_name, ctx)
+        return _moe_block_sparse(bp, x, cfg, layer_name, ctx,
+                                 layer_idx=layer_idx,
+                                 experts_flat=experts_flat)
+    return _moe_block_dense(bp, x, cfg, layer_name, ctx,
+                            layer_idx=layer_idx, experts_flat=experts_flat)
 
 
 def _decoder_layer(lp, x, cfg, name, cos, sin, ctx, cache, attn_mask):
@@ -306,12 +335,111 @@ def stack_layers(params: dict, cfg: MixtralConfig) -> dict:
 
 
 def stacked_caches(cfg: MixtralConfig, batch: int, max_len: int, dtype,
-                   pos: int = 0) -> KVCache:
-    """A scan-ready KV cache: every field carries a leading layers axis."""
+                   pos: int = 0, quant_kv: bool = False):
+    """A scan-ready KV cache: every field carries a leading layers axis.
+    quant_kv=True builds the INT8 cache consumed in place by the fused
+    flash-decode kernel."""
+    from smoothquant_tpu.models.common import QuantKVCache
+
     shape = (cfg.num_hidden_layers, batch, cfg.num_key_value_heads, max_len,
              cfg.head_dim)
+    poss = jnp.full((cfg.num_hidden_layers,), pos, jnp.int32)
+    if quant_kv:
+        return QuantKVCache(
+            k_q=jnp.zeros(shape, jnp.int8), v_q=jnp.zeros(shape, jnp.int8),
+            k_scale=jnp.zeros(shape[:4], jnp.float32),
+            v_scale=jnp.zeros(shape[:4], jnp.float32),
+            pos=poss,
+        )
     return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
-                   pos=jnp.full((cfg.num_hidden_layers,), pos, jnp.int32))
+                   pos=poss)
+
+
+def _prefetch_scan_decode(params, x, cfg, ctx, caches, cos, sin, attn_mask):
+    """Single-token decode over stacked PACKED layers without scan-slice
+    copies — the Mixtral twin of llama._prefetch_scan_decode.  The MoE
+    expert weights ride as (L*E, ...)-flattened loop-invariant stacks and
+    the scalar-prefetch kernels select (layer, expert) = layer*E + e, so
+    neither the attention nor the expert weights are ever slice-copied
+    inside the scan."""
+    from smoothquant_tpu.models.common import (
+        QuantKVCache,
+        decode_bias,
+        stacked_cache_append_fused,
+        stacked_flash_attention,
+    )
+
+    stacked = params["layers"]["stacked"]
+    moe = stacked["block_sparse_moe"]
+    e_total = cfg.num_local_experts
+    # flatten the (L, E, ...) expert leaves to (L*E, ...): a free reshape of
+    # loop-invariant arrays, hoisted out of the scan by XLA
+    experts_flat = jax.tree.map(lambda a: a.reshape((-1,) + a.shape[2:]),
+                                moe["experts"]["stacked"])
+    b, s, h = x.shape
+    nh, n_kv, d = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                   cfg.head_dim)
+    s_max = (caches.k_q if isinstance(caches, QuantKVCache)
+             else caches.k).shape[3]
+
+    def norm_at(node, i):
+        return {"weight": node["weight"][i]}
+
+    def body(carry, i):
+        x, cache = carry
+        sa = stacked["self_attn"]
+        nm = "model.layers.scan"
+        residual = x
+        hidden = rms_norm(norm_at(stacked["input_layernorm"], i), x,
+                          cfg.rms_norm_eps)
+        q = call_linear(sa["q_proj"], hidden, f"{nm}.q", ctx, True,
+                        layer_idx=i)
+        k = call_linear(sa["k_proj"], hidden, f"{nm}.k", ctx, True,
+                        layer_idx=i)
+        v = call_linear(sa["v_proj"], hidden, f"{nm}.v", ctx, True,
+                        layer_idx=i)
+        q = apply_rotary(q.reshape(b, s, nh, d), cos, sin)
+        k = k.reshape(b, s, n_kv, d)      # k-rotary fuses into the writer
+        v = v.reshape(b, s, n_kv, d)
+
+        cache, pos_i = stacked_cache_append_fused(cache, i, k, v, cos, sin,
+                                                  ctx)
+        bias = decode_bias(pos_i, b, s_max, attn_mask)
+        a = stacked_flash_attention(cache, i, q[:, 0], bias, ctx)
+        a = a[:, None].reshape(b, s, nh * d)
+        x = residual + call_linear(sa["o_proj"], a, f"{nm}.o", ctx,
+                                   layer_idx=i)
+
+        residual = x
+        hidden = rms_norm(norm_at(stacked["post_attention_layernorm"], i),
+                          x, cfg.rms_norm_eps)
+        x = residual + _moe_block(moe, hidden, cfg, f"{nm}.block_sparse_moe",
+                                  ctx, layer_idx=i,
+                                  experts_flat=experts_flat)
+        cache = cache._replace(pos=cache.pos.at[i].add(s))
+        return (x, cache), None
+
+    (x, caches), _ = jax.lax.scan(
+        body, (x, caches), jnp.arange(cfg.num_hidden_layers))
+    return x, caches
+
+
+def _prefetch_capable(params, cfg, ctx, caches, s: int) -> bool:
+    from smoothquant_tpu.kernels import decode_attention as da
+    from smoothquant_tpu.models.common import (
+        QuantKVCache,
+        prefetch_tree_capable,
+    )
+
+    stacked = params["layers"].get("stacked")
+    if not prefetch_tree_capable(stacked, ctx, caches, s):
+        return False
+    if "stacked" not in stacked.get("block_sparse_moe", {}).get(
+            "experts", {}):
+        return False
+    kbuf = caches.k_q if isinstance(caches, QuantKVCache) else caches.k
+    return da.supported(kbuf.shape[3], cfg.num_attention_heads,
+                        cfg.num_key_value_heads, cfg.head_dim)
 
 
 def forward(
@@ -338,7 +466,10 @@ def forward(
         positions = start + jax.lax.broadcasted_iota(jnp.int32, (b, s), 1)
     cos, sin = rotary_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
 
-    if stacked_mode:
+    if stacked_mode and _prefetch_capable(params, cfg, ctx, caches, s):
+        x, new_caches = _prefetch_scan_decode(params, x, cfg, ctx, caches,
+                                              cos, sin, attn_mask)
+    elif stacked_mode:
         assert ctx is None or ctx.taps is None, "taps unsupported with scan"
 
         def body(carry, layer_in):
