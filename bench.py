@@ -201,8 +201,16 @@ def main() -> None:
                            shared_imp, shared_imp))
         if shared_perm is None:
             shared_perm = np.asarray(qkv.perm)
+        # identity layout for o_proj: its input (attention output) cannot
+        # arrive pre-permuted, and the full-width activation gather cost
+        # ~8 us/layer (profiled); identity packing removes it
         op = permute_output_columns(
-            pk(sa["o_proj"], rng.uniform(0.1, 1.0, size=(h_dim,))),
+            pack_linear({"weight": sa["o_proj"]["weight"],
+                         "bias": sa["o_proj"].get("bias")},
+                        qcfg, importance=rng.uniform(0.1, 1.0,
+                                                     size=(h_dim,)),
+                        nibble=True, identity=True, align_k_groups=8,
+                        align_o=2048),
             shared_perm)
         lp["self_attn"] = {"qkv_proj": qkv, "o_proj": op}
         # fold down_proj's input perm into gate/up output rows: the widest

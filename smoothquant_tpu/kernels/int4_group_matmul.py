@@ -185,19 +185,28 @@ _SCALE_FLOOR = 1e-5  # matches quant.core.compute_scale / kernels.act_prep
 
 def _make_rawx_kernel(gpt: int, gs: int, qmax: float, k_ns_raw: int,
                       n_sal: int, k_s: int, half_ch: int, c: int, eps: float,
-                      fuse_norm: bool, need_mask: bool, num_k: int,
-                      interpret: bool):
+                      norm_kind, need_mask: bool, num_k: int,
+                      sal_external: bool, interpret: bool):
     """Kernel factory for the fused act-quant int4 matmul (see
     int4_group_matmul_stacked_rawx).  Returns a kernel whose positional ref
     signature matches the operand list the wrapper builds (norm refs only
-    when fuse_norm, salient refs only when k_s)."""
+    when norm_kind, salient refs only when k_s).
+
+    norm_kind: "rms" fuses a preceding RMSNorm (nw rows are the norm
+    weight); "mask" multiplies activations by the nw rows WITHOUT the
+    rsqrt — used by the identity weight layout, whose 0/1 mask zeroes the
+    scattered salient (and pad) channels out of the int path; None = raw.
+    sal_external: the salient activation slice arrives as its own
+    pre-gathered (N, k_s) operand instead of being the permuted tail of
+    x_full (identity layout: salient channels are scattered)."""
+    fuse_norm = norm_kind == "rms"
 
     def kernel(*refs):
         pos = 1  # refs[0] = scalar-prefetch layer idx (consumed by index maps)
         x_full_ref = refs[pos]; pos += 1
         x_lo_ref = refs[pos]; pos += 1
         x_hi_ref = refs[pos]; pos += 1
-        if fuse_norm:
+        if norm_kind:
             nw_full_ref = refs[pos]; pos += 1
             nw_lo_ref = refs[pos]; pos += 1
             nw_hi_ref = refs[pos]; pos += 1
@@ -206,6 +215,8 @@ def _make_rawx_kernel(gpt: int, gs: int, qmax: float, k_ns_raw: int,
         ws_hi_ref = refs[pos]; pos += 1
         if k_s:
             w_sal_t_ref = refs[pos]; pos += 1
+        if k_s and sal_external:
+            x_sal_ref = refs[pos]; pos += 1
         out_ref = refs[pos]; pos += 1
         acc_ref = refs[pos]; pos += 1
         xq_ref = refs[pos]; pos += 1   # (2*gpt*num_k, tile_n, gs) int8
@@ -227,7 +238,13 @@ def _make_rawx_kernel(gpt: int, gs: int, qmax: float, k_ns_raw: int,
                             jnp.sum(xf * xf, axis=1, keepdims=True) / c
                             + eps),
                         r_ref.shape)
-            if k_s and n_sal:
+            if k_s and n_sal and sal_external:
+                acc_ref[:] = jax.lax.dot_general(
+                    x_sal_ref[:].astype(w_sal_t_ref.dtype), w_sal_t_ref[0],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            elif k_s and n_sal:
                 sal = (x_full_ref[:, k_ns_raw:k_ns_raw + n_sal]
                        .astype(jnp.float32))
                 if fuse_norm:
@@ -252,8 +269,8 @@ def _make_rawx_kernel(gpt: int, gs: int, qmax: float, k_ns_raw: int,
         @pl.when(j == 0)
         def _quantize():
             r = r_ref[:, :1] if fuse_norm else None
-            halves = ((x_lo_ref, nw_lo_ref if fuse_norm else None, 0),
-                      (x_hi_ref, nw_hi_ref if fuse_norm else None, half_ch))
+            halves = ((x_lo_ref, nw_lo_ref if norm_kind else None, 0),
+                      (x_hi_ref, nw_hi_ref if norm_kind else None, half_ch))
             for hi, (x_ref_, nw_ref_, base) in enumerate(halves):
                 for gg in range(gpt):
                     y = (x_ref_[:, gg * gs:(gg + 1) * gs]
@@ -261,6 +278,9 @@ def _make_rawx_kernel(gpt: int, gs: int, qmax: float, k_ns_raw: int,
                     if fuse_norm:
                         y = (y * r
                              * nw_ref_[0, gg * gs:(gg + 1) * gs]
+                             .astype(jnp.float32)[None, :])
+                    elif norm_kind == "mask":
+                        y = (y * nw_ref_[0, gg * gs:(gg + 1) * gs]
                              .astype(jnp.float32)[None, :])
                     if need_mask and (base or k_ns_raw < half_ch):
                         # zero the overlap with salient/pad cols
@@ -302,17 +322,24 @@ def _make_rawx_kernel(gpt: int, gs: int, qmax: float, k_ns_raw: int,
 @functools.partial(
     jax.jit,
     static_argnames=("group_size", "act_bits", "num_salient", "eps",
-                     "out_dtype", "tile_o", "tile_g", "interpret"),
+                     "out_dtype", "tile_o", "tile_g", "norm_kind",
+                     "interpret"),
 )
 def int4_group_matmul_stacked_rawx(
     layer_idx: jax.Array,   # (1,) int32 — which layer's weights to stream
     x_raw: jax.Array,       # (N, C) fp — PRE-quant (and pre-norm when
     #                         norm_w given) activations in PERMUTED order:
-    #                         [C - num_salient non-salient | salient]
-    norm_w: Optional[jax.Array],  # (C,) fp permuted RMSNorm weight or None
+    #                         [C - num_salient non-salient | salient] —
+    #                         or ORIGINAL order for the identity layout
+    #                         (norm_kind="mask" + x_sal)
+    norm_w: Optional[jax.Array],  # (C,) fp row: RMSNorm weight
+    #                         (norm_kind="rms") or 0/1 channel mask
+    #                         (norm_kind="mask", identity layout)
     w_packed: jax.Array,    # (L, K_ns/2, O) int8 nibble-packed
     w_scales_t: jax.Array,  # (L, G, O) f32
     w_sal_t: jax.Array,     # (L, k_s, O) fp
+    x_sal: Optional[jax.Array] = None,  # (N, k_s) pre-gathered salient
+    #                         activations (identity layout only)
     *,
     group_size: int,
     act_bits: int,
@@ -321,6 +348,7 @@ def int4_group_matmul_stacked_rawx(
     out_dtype=jnp.float32,
     tile_o: Optional[int] = None,
     tile_g: Optional[int] = None,
+    norm_kind: str = "rms",
     interpret: bool = False,
 ) -> jax.Array:
     """Fully-fused decode linear: (RMSNorm) + salient split + per-group
@@ -381,15 +409,22 @@ def int4_group_matmul_stacked_rawx(
     if (n_pad, p_ch) != (n, c):
         x_raw = jnp.pad(x_raw, ((0, n_pad - n), (0, p_ch - c)))
 
-    fuse_norm = norm_w is not None
-    if fuse_norm:
+    nk = norm_kind if norm_w is not None else None
+    if nk is not None:
         nw = jnp.pad(norm_w.reshape(1, -1).astype(x_raw.dtype),
                      ((0, 0), (0, p_ch - c)))
+    sal_external = x_sal is not None
+    if sal_external and k_s:
+        assert x_sal.shape[1] == k_s
+        if x_sal.shape[0] != n_pad:
+            x_sal = jnp.pad(x_sal, ((0, n_pad - x_sal.shape[0]), (0, 0)))
 
     wp4 = w_packed.reshape(l_num, g_half, group_size, o)
     grid = (n_pad // tile_n, o // tile_o, g_half // tile_g)
     gh = g_half // tile_g
-    need_mask = kk > k_ns_raw
+    # identity layout (sal_external): scattered salient/pad channels are
+    # zeroed by the mask row, not by the tail-column comparison
+    need_mask = kk > k_ns_raw and not sal_external
 
     in_specs = [
         pl.BlockSpec((tile_n, p_ch), lambda i, j, k, s: (i, 0),
@@ -400,7 +435,7 @@ def int4_group_matmul_stacked_rawx(
                      memory_space=pltpu.VMEM),
     ]
     operands = [x_raw, x_raw, x_raw]
-    if fuse_norm:
+    if nk is not None:
         in_specs += [
             pl.BlockSpec((1, p_ch), lambda i, j, k, s: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -426,20 +461,25 @@ def int4_group_matmul_stacked_rawx(
             pl.BlockSpec((1, k_s, tile_o), lambda i, j, k, s: (s[0], 0, j),
                          memory_space=pltpu.VMEM))
         operands.append(w_sal_t)
+    if k_s and sal_external:
+        in_specs.append(
+            pl.BlockSpec((tile_n, k_s), lambda i, j, k, s: (i, 0),
+                         memory_space=pltpu.VMEM))
+        operands.append(x_sal)
 
     scratch = [
         pltpu.VMEM((tile_n, tile_o), jnp.float32),           # acc
         pltpu.VMEM((g_total, tile_n, group_size), jnp.int8),  # xq cache
         pltpu.VMEM((g_total, tile_n, 128), jnp.float32),      # scale cache
     ]
-    if fuse_norm:
+    if nk == "rms":
         scratch.append(pltpu.VMEM((tile_n, 128), jnp.float32))
 
     kernel = _make_rawx_kernel(
         gpt=tile_g, gs=group_size, qmax=float(2 ** (act_bits - 1) - 1),
         k_ns_raw=k_ns_raw, n_sal=num_salient, k_s=k_s, half_ch=half, c=c,
-        eps=eps, fuse_norm=fuse_norm, need_mask=need_mask, num_k=gh,
-        interpret=interpret)
+        eps=eps, norm_kind=nk, need_mask=need_mask, num_k=gh,
+        sal_external=sal_external, interpret=interpret)
 
     out = pl.pallas_call(
         kernel,

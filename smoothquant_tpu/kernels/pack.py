@@ -52,6 +52,9 @@ class PackedLinear:
     bias: Optional[jax.Array]
     perm: jax.Array         # (C,) int32: x[:, perm] = [non-salient | salient]
     meta: "PackedMeta" = dataclasses.field(metadata=dict(static=True))
+    # identity nibble layout only: (C,) 0/1 mask zeroing the scattered
+    # salient channels out of the int path's activation quantize
+    ns_mask: Optional[jax.Array] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -112,6 +115,7 @@ def pack_linear(
     host_pack: bool = False,
     align_k_groups: int = 1,
     align_o: int = 1,
+    identity: bool = False,
 ) -> PackedLinear:
     """Build the packed layout from FP linear params {"weight", "bias"}.
 
@@ -140,6 +144,11 @@ def pack_linear(
     o, c = w.shape
     if nibble and cfg.quant_bits > 4:
         raise ValueError("nibble packing requires quant_bits <= 4")
+    if identity:
+        return _pack_linear_identity(
+            params, cfg, importance=importance,
+            compute_dtype=compute_dtype, nibble=nibble,
+            align_k_groups=align_k_groups, align_o=align_o)
 
     k = cfg.num_salient(c) if importance is not None else 0
     sal_idx = select_salient_indices(np.asarray(importance), k) if k else np.zeros(0, np.int32)
@@ -222,6 +231,88 @@ def pack_linear(
             k_ns=k_ns, k_s=k_s, group_size=g, nibble=nibble,
             act_quant=cfg.act_quant, act_bits=cfg.effective_act_bits,
             act_group_size=cfg.group_size, layout=layout,
+        ),
+    )
+
+
+def _pack_linear_identity(
+    params: dict,
+    cfg: QuantConfig,
+    importance: Optional[np.ndarray] = None,
+    compute_dtype=jnp.bfloat16,
+    nibble: bool = True,
+    align_k_groups: int = 1,
+    align_o: int = 1,
+) -> PackedLinear:
+    """IDENTITY-layout nibble pack: int weights stay in ORIGINAL channel
+    order (groups = contiguous unsorted channel ranges) with the salient
+    COLUMNS zeroed out of the int values; salient channels ride the fp
+    side path via a SMALL (k_s-wide) runtime gather, and a stored 0/1
+    ns_mask zeroes the scattered salient channels out of the activation
+    group quantize (their outliers would otherwise inflate neighbors'
+    scales).
+
+    Why: the permuted layout needs a full-width activation gather at every
+    call whose input isn't pre-permuted (o_proj: ~8 us/layer at 7B decode,
+    profiled) — this layout removes it at the cost of unsorted grouping,
+    which the reference's own ablation shows is benign at small group
+    sizes (README.md:52-55: sorting matters at g=256-1024, not g=64).
+    """
+    if not nibble:
+        raise ValueError("identity layout is for nibble packs")
+    if cfg.weight_quant not in ("per_group", "per_group_unsorted"):
+        raise ValueError("identity layout needs a per-group weight recipe")
+    w = params["weight"]
+    o, c = w.shape
+    k = cfg.num_salient(c) if importance is not None else 0
+    sal_idx = (select_salient_indices(np.asarray(importance), k)
+               if k else np.zeros(0, np.int32))
+    sal_idx = np.sort(sal_idx).astype(np.int32)
+    is_sal = np.zeros(c, dtype=bool)
+    is_sal[sal_idx] = True
+    ns_idx = np.nonzero(~is_sal)[0].astype(np.int32)
+    perm = np.concatenate([ns_idx, sal_idx]).astype(np.int32)
+
+    g = effective_group_size(cfg, c)
+    k_ns = _ceil_to(c, 2 * g * max(align_k_groups, 1))
+    k_s = _ceil_to(k, LANE) if k else 0
+
+    wf = jnp.asarray(w, jnp.float32)
+    mask = jnp.asarray(~is_sal, jnp.float32)
+    w_main = wf * mask[None, :]
+    if k_ns != c:
+        w_main = jnp.pad(w_main, ((0, 0), (0, k_ns - c)))
+    q3, s3 = core.group_quant_params(w_main, cfg.quant_bits, g)
+    w_qt = _nibble_pack_device(q3.reshape(o, k_ns).T)
+    scales_t = s3.reshape(o, k_ns // g).T
+    w_sal = jnp.zeros((o, k_s), jnp.float32)
+    if k:
+        w_sal = w_sal.at[:, :k].set(jnp.take(wf, jnp.asarray(sal_idx),
+                                             axis=1))
+
+    if align_o > 1:
+        o_pad = _ceil_to(o, align_o)
+        if o_pad != o:
+            w_qt = jnp.pad(w_qt, ((0, 0), (0, o_pad - o)))
+            scales_t = jnp.pad(scales_t, ((0, 0), (0, o_pad - o)))
+            w_sal = jnp.pad(w_sal, ((0, o_pad - o), (0, 0)))
+    if cfg.scale_dtype == "bfloat16":
+        scales_t = scales_t.astype(jnp.bfloat16)
+
+    bias = params.get("bias")
+    return PackedLinear(
+        w_qt=w_qt,
+        w_scales_t=scales_t,
+        w_sal_t=w_sal.T.astype(compute_dtype),
+        bias=None if bias is None else jnp.asarray(bias),
+        perm=jnp.asarray(perm),
+        ns_mask=mask.astype(jnp.float32),
+        meta=PackedMeta(
+            in_features=c, out_features=o, num_salient=k,
+            k_ns=k_ns, k_s=k_s, group_size=g, nibble=True,
+            act_quant=cfg.act_quant, act_bits=cfg.effective_act_bits,
+            act_group_size=cfg.group_size, layout="identity",
+            pre_permuted=True,
         ),
     )
 

@@ -101,7 +101,7 @@ def can_fuse_norm(packed) -> bool:
     if not isinstance(packed, PackedLinear):
         return False
     m = packed.meta
-    return (m.pre_permuted and m.nibble
+    return (m.pre_permuted and m.nibble and m.layout != "identity"
             and m.act_quant not in ("per_token", "per_tensor")
             and m.act_group_size == m.group_size)
 
@@ -154,6 +154,32 @@ def real_mlp_fused(
     if dn.bias is not None:
         y = y + dn.bias[layer_idx].astype(y.dtype)
     return y.reshape(*shape[:-1], y.shape[-1])
+
+
+def _identity_nibble_quantize(packed: PackedLinear, x2d: jax.Array,
+                              perm_row, mask_row):
+    """(x_q, x_scales, x_sal) for the IDENTITY nibble layout: activations
+    group-quantize in ORIGINAL channel order with the scattered salient
+    channels masked to zero (their int-weight rows are zero too); the
+    salient slice rides a small k_s-wide gather."""
+    from smoothquant_tpu.quant.core import compute_scale
+
+    meta = packed.meta
+    n, c = x2d.shape
+    xf = x2d.astype(jnp.float32) * mask_row.astype(jnp.float32)[None, :]
+    if meta.k_ns != c:
+        xf = jnp.pad(xf, ((0, 0), (0, meta.k_ns - c)))
+    g_w = meta.k_ns // meta.group_size
+    xg = xf.reshape(n, g_w, meta.group_size)
+    absmax = jnp.max(jnp.abs(xg), axis=-1, keepdims=True)
+    scales = compute_scale(absmax, meta.act_bits)
+    x_q = jnp.round(xg / scales).astype(jnp.int8).reshape(n, meta.k_ns)
+    x_sal = jnp.zeros((n, meta.k_s), x2d.dtype)
+    if meta.num_salient:
+        sal_idx = perm_row[c - meta.num_salient:]
+        x_sal = x_sal.at[:, : meta.num_salient].set(
+            jnp.take(x2d, sal_idx, axis=-1))
+    return x_q, scales[..., 0].astype(jnp.float32), x_sal
 
 
 def real_quant_linear(
@@ -214,7 +240,44 @@ def real_quant_linear(
                 from smoothquant_tpu.models.common import rms_norm
 
                 x_perm = rms_norm({"weight": n_w}, x_perm, n_eps)
-        if grouped and x2d.shape[0] <= 32:
+        if (meta.layout == "identity" and grouped
+                and x2d.shape[0] <= 32):
+            # identity layout: NO input gather at all — the 0/1 ns_mask
+            # rides the kernel's norm-row slot (norm_kind="mask") and the
+            # scattered salient channels arrive via a small k_s gather
+            from smoothquant_tpu.kernels.int4_group_matmul import (
+                int4_group_matmul_stacked_rawx,
+            )
+
+            assert norm is None, "identity layout call sites fuse no norm"
+            perm_row = packed.perm[layer_idx]
+            x_sal = jnp.zeros((x2d.shape[0], meta.k_s), x.dtype)
+            if meta.num_salient:
+                sal_idx = perm_row[meta.in_features - meta.num_salient:]
+                x_sal = x_sal.at[:, : meta.num_salient].set(
+                    jnp.take(x2d, sal_idx, axis=-1))
+            y = int4_group_matmul_stacked_rawx(
+                jnp.asarray(layer_idx, jnp.int32).reshape(1),
+                x2d, packed.ns_mask[layer_idx],
+                packed.w_qt, packed.w_scales_t,
+                packed.w_sal_t.astype(x.dtype), x_sal,
+                group_size=meta.group_size, act_bits=meta.act_bits,
+                num_salient=meta.num_salient, norm_kind="mask",
+                out_dtype=out_dtype or x.dtype, interpret=interpret,
+            )
+        elif meta.layout == "identity" and grouped:
+            x_q, x_scales, x_sal = _identity_nibble_quantize(
+                packed, x2d, packed.perm[layer_idx],
+                packed.ns_mask[layer_idx])
+            y = int4_group_matmul_stacked(
+                jnp.asarray(layer_idx, jnp.int32).reshape(1),
+                x_q, x_scales, packed.w_qt, packed.w_scales_t,
+                x_sal.astype(x.dtype), packed.w_sal_t.astype(x.dtype),
+                group_size=meta.group_size,
+                out_dtype=out_dtype or x.dtype,
+                interpret=interpret,
+            )
+        elif grouped and x2d.shape[0] <= 32:
             # fully-fused decode path: (RMSNorm) + salient split + per-group
             # act quantize + int4 matmul in ONE Pallas call — the act_prep
             # kernel + XLA glue between it and the matmul cost ~2 launches
@@ -281,8 +344,27 @@ def real_quant_linear(
             y = y + packed.bias[layer_idx].astype(y.dtype)
         return y.reshape(*shape[:-1], y.shape[-1])
 
-    if meta.layout == "identity":  # promote_int8 prefill layout, pure XLA
+    if meta.layout == "identity" and not meta.nibble:
+        # promote_int8 prefill layout, pure XLA
         y = _identity_int8_forward(packed, x2d, out_dtype or x.dtype)
+        if y.shape[-1] > meta.out_features:
+            y = y[..., : meta.out_features]
+        if packed.bias is not None:
+            y = y + packed.bias.astype(y.dtype)
+        return y.reshape(*shape[:-1], y.shape[-1])
+
+    if meta.layout == "identity" and meta.nibble:
+        # identity NIBBLE layout (per-layer path): masked original-order
+        # group quantize + the int kernel; salient via a small gather
+        x_q, x_scales, x_sal = _identity_nibble_quantize(
+            packed, x2d, packed.perm, packed.ns_mask)
+        y = int4_group_matmul(
+            x_q, x_scales, packed.w_qt, packed.w_scales_t,
+            x_sal.astype(x.dtype), packed.w_sal_t.astype(x.dtype),
+            group_size=meta.group_size,
+            out_dtype=out_dtype or x.dtype,
+            interpret=interpret,
+        )
         if y.shape[-1] > meta.out_features:
             y = y[..., : meta.out_features]
         if packed.bias is not None:

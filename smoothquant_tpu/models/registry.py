@@ -70,6 +70,7 @@ def pack_model(
     fuse: bool = False,
     fold_perms: bool = False,
     shared_residual_basis: bool = False,
+    identity_keys: tuple = (),
 ) -> dict:
     """Replace every quantizable linear with a PackedLinear (real-kernel path).
 
@@ -84,6 +85,13 @@ def pack_model(
     host_pack: quantize + nibble-pack on the host (native OpenMP lib) before
     device transfer — cold-start checkpoint ingestion moves ~4-8 bits per
     weight element host→device instead of 16 and compiles nothing.
+    identity_keys: substrings of module names (e.g. "o_proj") to pack in
+    the IDENTITY nibble layout — original channel order, unsorted groups,
+    scattered salient channels masked out of the int path and gathered
+    (k_s-wide) onto the fp side path.  Removes the full-width runtime
+    activation gather at call sites whose input cannot be pre-permuted
+    (o_proj: attention output); grouping quality matches the reference's
+    UNSORTED ablation, which is benign at small group sizes.
     """
     import jax.numpy as jnp
     import numpy as np
@@ -154,9 +162,10 @@ def pack_model(
         if tuple(path) in rs_paths:
             imp = shared_imp if shared_imp is not None else imp
             absmax = shared_absmax
+        identity = nibble and any(sub in key for sub in identity_keys)
         packed = pack_linear(lin, qcfg, importance=imp, act_absmax=absmax,
                              compute_dtype=compute_dtype, nibble=nibble,
-                             host_pack=host_pack,
+                             host_pack=host_pack, identity=identity,
                              align_k_groups=align_k_groups, align_o=align_o)
         if tuple(path) in rs_paths:
             packed = _dc.replace(

@@ -53,6 +53,7 @@ def _packed_specs(p: PackedLinear) -> PackedLinear:
             w_sal_t=P(TP_AXIS, None),
             bias=None if p.bias is None else P(None),
             perm=P(TP_AXIS),
+            ns_mask=None if p.ns_mask is None else P(TP_AXIS),
             meta=p.meta,
         )
     return PackedLinear(
@@ -61,6 +62,7 @@ def _packed_specs(p: PackedLinear) -> PackedLinear:
         w_sal_t=P(None, TP_AXIS),
         bias=None if p.bias is None else P(TP_AXIS),
         perm=P(None),
+        ns_mask=None if p.ns_mask is None else P(None),
         meta=p.meta,
     )
 

@@ -122,6 +122,8 @@ def load_packed_model(path: str) -> dict:
                 w_sal_t=jnp.asarray(node["w_sal_t"]),
                 bias=jnp.asarray(node["bias"]) if "bias" in node else None,
                 perm=jnp.asarray(node["perm"]),
+                ns_mask=(jnp.asarray(node["ns_mask"])
+                         if "ns_mask" in node else None),
                 meta=PackedMeta(**metas[key]),
             )
         if isinstance(node, dict):
@@ -264,6 +266,8 @@ def load_packed_model_sharded(dir_path: str, shard: int | None = None) -> dict:
                 w_sal_t=jnp.asarray(node["w_sal_t"]),
                 bias=jnp.asarray(node["bias"]) if "bias" in node else None,
                 perm=jnp.asarray(node["perm"]),
+                ns_mask=(jnp.asarray(node["ns_mask"])
+                         if "ns_mask" in node else None),
                 meta=PackedMeta(**metas[key]),
             )
         if isinstance(node, dict):

@@ -24,3 +24,19 @@ jax.config.update("jax_enable_x64", False)
 assert jax.devices()[0].platform == "cpu", (
     "tests must run on the virtual CPU mesh, got " + jax.devices()[0].platform
 )
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop compiled-executable caches after every test module.
+
+    The full suite accumulates hundreds of interpret-mode Pallas programs
+    and CPU XLA executables in one process; past ~285 tests that state
+    made the CPU client segfault (observed in tests/test_serve.py when run
+    after the whole alphabet of kernel tests, 2026-08).  Per-module cache
+    clearing bounds the accumulation; module-scoped fixtures re-jit at
+    worst once per module."""
+    yield
+    jax.clear_caches()
