@@ -44,6 +44,7 @@ from smoothquant_tpu.kernels.decode_attention import (
     NEG_INF,
     _ceil_to,
     _flash_head,
+    _pick_b_chunk,
     _pick_h_chunk,
     _pick_tile_s,
 )
@@ -55,7 +56,8 @@ def _rot_half(x):
 
 
 def _make_kernel(*, sm_scale: float, hc: int, rp: int, nkb: int, nst: int,
-                 ts: int, b: int, d: int, rotary: bool, write_cache: bool):
+                 ts: int, b: int, bc: int, d: int, rotary: bool,
+                 write_cache: bool):
     def kernel(*refs):
         pos_i = 0
         idx_ref = refs[pos_i]; pos_i += 1
@@ -130,28 +132,26 @@ def _make_kernel(*, sm_scale: float, hc: int, rp: int, nkb: int, nst: int,
             t2 = t - 1
             hh = (t2 % (nkb * nst)) // nst
             st = t2 % nst
-            bbnk = (t2 // (nkb * nst)) * nkb + hh
+            bb = t2 // (nkb * nst)
             # the current position's HBM row is stale (flushed at grid
             # end): mask cols >= lpos; the new position rides the virtual
             # tile below
             bias_row = jnp.where(
                 st * ts + jax.lax.broadcasted_iota(jnp.int32, (1, ts), 1)
                 < lpos, 0.0, NEG_INF)
-            for j in range(hc):
-                _flash_head(
-                    q_ref[0, j], kt_ref[0, 0, j].astype(jnp.bfloat16),
-                    vt_ref[0, 0, j].astype(jnp.bfloat16), bias_row,
-                    kst_ref[0, 0, j:j + 1], vst_ref[0, 0, j:j + 1],
-                    sm_scale, m_ref, l_ref, acc_ref, j * rp,
-                    st == 0, False, o_ref, j,
-                )
+            for b2 in range(bc):
+                for j in range(hc):
+                    _flash_head(
+                        q_ref[b2, j], kt_ref[0, b2, j].astype(jnp.bfloat16),
+                        vt_ref[0, b2, j].astype(jnp.bfloat16), bias_row,
+                        kst_ref[0, b2, j:j + 1], vst_ref[0, b2, j:j + 1],
+                        sm_scale, m_ref, l_ref, acc_ref,
+                        (b2 * hc + j) * rp,
+                        st == 0, False, o_ref, j, o_b=b2,
+                    )
 
             @pl.when(st == nst - 1)
             def _virtual():
-                k8b = k8_scr[bbnk]                       # (hc, d) bf16 ints
-                v8b = v8_scr[bbnk]
-                kscb = ksc_scr[bbnk]                     # (hc, 128) f32
-                vscb = vsc_scr[bbnk]
                 # row-0 selection by MULTIPLY, not where: an (8,128) i1
                 # mask against a sublane-broadcast row hits a Mosaic
                 # relayout bug ("non-singleton dimension replicated in
@@ -161,15 +161,22 @@ def _make_kernel(*, sm_scale: float, hc: int, rp: int, nkb: int, nst: int,
                 bias_v = jnp.where(
                     jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1) == 0,
                     0.0, NEG_INF)
-                for j in range(hc):
-                    k_t = k8b[j][None, :] * row0
-                    v_t = v8b[j][None, :] * row0
-                    _flash_head(
-                        q_ref[0, j], k_t, v_t, bias_v,
-                        kscb[j:j + 1, :8], vscb[j:j + 1, :8],
-                        sm_scale, m_ref, l_ref, acc_ref, j * rp,
-                        False, True, o_ref, j,
-                    )
+                for b2 in range(bc):
+                    bbnk = (bb * bc + b2) * nkb + hh
+                    k8b = k8_scr[bbnk]                   # (hc, d) bf16 ints
+                    v8b = v8_scr[bbnk]
+                    kscb = ksc_scr[bbnk]                 # (hc, 128) f32
+                    vscb = vsc_scr[bbnk]
+                    for j in range(hc):
+                        k_t = k8b[j][None, :] * row0
+                        v_t = v8b[j][None, :] * row0
+                        _flash_head(
+                            q_ref[b2, j], k_t, v_t, bias_v,
+                            kscb[j:j + 1, :8], vscb[j:j + 1, :8],
+                            sm_scale, m_ref, l_ref, acc_ref,
+                            (b2 * hc + j) * rp,
+                            False, True, o_ref, j, o_b=b2,
+                        )
 
     return kernel
 
@@ -195,6 +202,7 @@ def _fused_attn_call(layer_idx, pos, q, k_new, v_new, cos, sin,
     if rp != rep:
         q4 = jnp.pad(q4, ((0, 0), (0, 0), (0, rp - rep), (0, 0)))
     hc = _pick_h_chunk(n_kv, ts, d, 1)
+    bc = _pick_b_chunk(b, n_kv, hc, ts, d, 1)
     nkb = n_kv // hc
     nst = s // ts
     if cos is None:
@@ -228,7 +236,7 @@ def _fused_attn_call(layer_idx, pos, q, k_new, v_new, cos, sin,
                 t2 % nst)
 
     q_spec = pl.BlockSpec(
-        (1, hc, rp, d),
+        (bc, hc, rp, d),
         lambda t, s_: (cmap(t, s_)[0], cmap(t, s_)[1], 0, 0),
         memory_space=pltpu.VMEM)
     new_spec = pl.BlockSpec((b, n_kv, d), lambda t, s_: (0, 0, 0),
@@ -242,20 +250,20 @@ def _fused_attn_call(layer_idx, pos, q, k_new, v_new, cos, sin,
                             lambda t, s_: (0, 0, 0, 0),
                             memory_space=pltpu.VMEM)
     kv_spec = pl.BlockSpec(
-        (1, 1, hc, ts, d),
+        (1, bc, hc, ts, d),
         lambda t, s_: (s_[0],) + cmap(t, s_)[:2] + (cmap(t, s_)[2], 0),
         memory_space=pltpu.VMEM)
     sc_spec = pl.BlockSpec(
-        (1, 1, hc, ts),
+        (1, bc, hc, ts),
         lambda t, s_: (s_[0],) + cmap(t, s_),
         memory_space=pltpu.VMEM)
     out_attn_spec = pl.BlockSpec(
-        (1, hc, rp, d),
+        (bc, hc, rp, d),
         lambda t, s_: (cmap(t, s_)[0], cmap(t, s_)[1], 0, 0),
         memory_space=pltpu.VMEM)
 
     kernel = _make_kernel(sm_scale=sm_scale, hc=hc, rp=rp, nkb=nkb, nst=nst,
-                          ts=ts, b=b, d=d, rotary=rotary,
+                          ts=ts, b=b, bc=bc, d=d, rotary=rotary,
                           write_cache=write_cache)
 
     in_specs = [q_spec, new_spec, new_spec, cs_spec, cs_spec]
@@ -283,13 +291,13 @@ def _fused_attn_call(layer_idx, pos, q, k_new, v_new, cos, sin,
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(1 + b * nkb * nst,),
+            grid=(1 + (b // bc) * nkb * nst,),
             in_specs=in_specs,
             out_specs=out_specs,
             scratch_shapes=[
-                pltpu.VMEM((hc * rp, 128), jnp.float32),   # running max
-                pltpu.VMEM((hc * rp, 128), jnp.float32),   # running denom
-                pltpu.VMEM((hc * rp, d), jnp.float32),     # running num
+                pltpu.VMEM((bc * hc * rp, 128), jnp.float32),  # running max
+                pltpu.VMEM((bc * hc * rp, 128), jnp.float32),  # denom
+                pltpu.VMEM((bc * hc * rp, d), jnp.float32),    # num
                 pltpu.VMEM((b * nkb, hc, d), jnp.bfloat16),  # new k values
                 pltpu.VMEM((b * nkb, hc, d), jnp.bfloat16),  # new v values
                 pltpu.VMEM((b * nkb, hc, 128), jnp.float32),

@@ -43,7 +43,7 @@ def _ceil_to(x: int, m: int) -> int:
 
 def _flash_head(q, k_tile, v_tile, bias_row, ks_row, vs_row, sm_scale,
                 m_ref, l_ref, acc_ref, r0, is_first, is_last, o_ref, j,
-                alibi_row=None):
+                alibi_row=None, o_b=0):
     """One (head, S-tile) of streaming softmax.  q: (R, D); k/v tile:
     (TS, D); bias_row/ks_row/vs_row: (1, TS).  Scratch rows [r0, r0+R);
     output written to o_ref[0, j] on the last S-tile.  alibi_row: optional
@@ -89,7 +89,7 @@ def _flash_head(q, k_tile, v_tile, bias_row, ks_row, vs_row, sm_scale,
     @pl.when(is_last)
     def _():
         denom = jnp.where(l_new > 0.0, l_new, 1.0)
-        o_ref[0, j] = (acc_new / denom).astype(o_ref.dtype)
+        o_ref[o_b, j] = (acc_new / denom).astype(o_ref.dtype)
 
 
 def _alibi_row(sl_ref, j: int, ts: int):
@@ -102,39 +102,56 @@ def _alibi_row(sl_ref, j: int, ts: int):
 
 
 def _kernel_fp(idx_ref, q_ref, k_ref, v_ref, bias_ref, *rest,
-               sm_scale: float, hc: int, rp: int, alibi: bool):
+               sm_scale: float, hc: int, rp: int, bc: int, alibi: bool):
     del idx_ref  # consumed by the index maps
     sl_ref = rest[0] if alibi else None
     o_ref, m_ref, l_ref, acc_ref = rest[1 if alibi else 0:]
     st = pl.program_id(2)
     n_st = pl.num_programs(2)
     ts = k_ref.shape[3]
-    for j in range(hc):
-        _flash_head(
-            q_ref[0, j], k_ref[0, 0, j], v_ref[0, 0, j], bias_ref[0, 0],
-            None, None, sm_scale, m_ref, l_ref, acc_ref, j * rp,
-            st == 0, st == n_st - 1, o_ref, j,
-            alibi_row=_alibi_row(sl_ref, j, ts),
-        )
+    for b2 in range(bc):
+        for j in range(hc):
+            _flash_head(
+                q_ref[b2, j], k_ref[0, b2, j], v_ref[0, b2, j],
+                bias_ref[b2, 0], None, None, sm_scale,
+                m_ref, l_ref, acc_ref, (b2 * hc + j) * rp,
+                st == 0, st == n_st - 1, o_ref, j,
+                alibi_row=_alibi_row(sl_ref, j, ts), o_b=b2,
+            )
 
 
 def _kernel_int8(idx_ref, q_ref, k_ref, v_ref, bias_ref, ks_ref, vs_ref,
-                 *rest, sm_scale: float, hc: int, rp: int, alibi: bool):
+                 *rest, sm_scale: float, hc: int, rp: int, bc: int,
+                 alibi: bool):
     del idx_ref
     sl_ref = rest[0] if alibi else None
     o_ref, m_ref, l_ref, acc_ref = rest[1 if alibi else 0:]
     st = pl.program_id(2)
     n_st = pl.num_programs(2)
     ts = k_ref.shape[3]
-    for j in range(hc):
-        _flash_head(
-            q_ref[0, j], k_ref[0, 0, j].astype(jnp.bfloat16),
-            v_ref[0, 0, j].astype(jnp.bfloat16),
-            bias_ref[0, 0], ks_ref[0, 0, j:j + 1], vs_ref[0, 0, j:j + 1],
-            sm_scale, m_ref, l_ref, acc_ref, j * rp,
-            st == 0, st == n_st - 1, o_ref, j,
-            alibi_row=_alibi_row(sl_ref, j, ts),
-        )
+    for b2 in range(bc):
+        for j in range(hc):
+            _flash_head(
+                q_ref[b2, j], k_ref[0, b2, j].astype(jnp.bfloat16),
+                v_ref[0, b2, j].astype(jnp.bfloat16),
+                bias_ref[b2, 0], ks_ref[0, b2, j:j + 1],
+                vs_ref[0, b2, j:j + 1],
+                sm_scale, m_ref, l_ref, acc_ref, (b2 * hc + j) * rp,
+                st == 0, st == n_st - 1, o_ref, j,
+                alibi_row=_alibi_row(sl_ref, j, ts), o_b=b2,
+            )
+
+
+def _pick_b_chunk(b: int, n_kv: int, hc: int, ts: int, d: int,
+                  itemsize: int) -> int:
+    """Batches per grid step, on top of the head chunk: targets ~2 MB K and
+    V blocks (single large DMAs — the kernel is DMA-issue bound at 1 MB,
+    and 4 MB blocks thrash VMEM double-buffering)."""
+    target = 2 * 1024 * 1024
+    for c in (4, 2):
+        if b % c == 0 and c * hc * ts * d * itemsize <= target:
+            return c
+    return 1
 
 
 def _pick_h_chunk(n_kv: int, ts: int, d: int, itemsize: int) -> int:
@@ -187,18 +204,21 @@ def decode_attention_stacked(
     if rp != rep:
         q4 = jnp.pad(q4, ((0, 0), (0, 0), (0, rp - rep), (0, 0)))
     hc = _pick_h_chunk(n_kv, ts, d, k.dtype.itemsize)
+    bc = _pick_b_chunk(b, n_kv, hc, ts, d, k.dtype.itemsize)
 
-    grid = (b, n_kv // hc, s // ts)
-    q_spec = pl.BlockSpec((1, hc, rp, d), lambda bb, hh, st, i: (bb, hh, 0, 0),
+    grid = (b // bc, n_kv // hc, s // ts)
+    q_spec = pl.BlockSpec((bc, hc, rp, d),
+                          lambda bb, hh, st, i: (bb, hh, 0, 0),
                           memory_space=pltpu.VMEM)
-    kv_spec = pl.BlockSpec((1, 1, hc, ts, d),
+    kv_spec = pl.BlockSpec((1, bc, hc, ts, d),
                            lambda bb, hh, st, i: (i[0], bb, hh, st, 0),
                            memory_space=pltpu.VMEM)
     bias4 = bias.reshape(b, s // ts, 1, ts)
-    bias_spec = pl.BlockSpec((1, 1, 1, ts),
+    bias_spec = pl.BlockSpec((bc, 1, 1, ts),
                              lambda bb, hh, st, i: (bb, st, 0, 0),
                              memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, hc, rp, d), lambda bb, hh, st, i: (bb, hh, 0, 0),
+    out_spec = pl.BlockSpec((bc, hc, rp, d),
+                            lambda bb, hh, st, i: (bb, hh, 0, 0),
                             memory_space=pltpu.VMEM)
 
     alibi = alibi_slopes is not None
@@ -211,16 +231,16 @@ def decode_attention_stacked(
         # scale array inside every scan iteration (measured 35 us/layer)
         assert hc % 8 == 0 or hc == n_kv
         sc_spec = pl.BlockSpec(
-            (1, 1, hc, ts),
+            (1, bc, hc, ts),
             lambda bb, hh, st, i: (i[0], bb, hh, st),
             memory_space=pltpu.VMEM)
         kernel = functools.partial(_kernel_int8, sm_scale=sm_scale, hc=hc,
-                                   rp=rp, alibi=alibi)
+                                   rp=rp, bc=bc, alibi=alibi)
         in_specs = [q_spec, kv_spec, kv_spec, bias_spec, sc_spec, sc_spec]
         operands = [q4, k, v, bias4, k_scale, v_scale]
     else:
         kernel = functools.partial(_kernel_fp, sm_scale=sm_scale, hc=hc,
-                                   rp=rp, alibi=alibi)
+                                   rp=rp, bc=bc, alibi=alibi)
         in_specs = [q_spec, kv_spec, kv_spec, bias_spec]
         operands = [q4, k, v, bias4]
     if alibi:
@@ -240,9 +260,9 @@ def decode_attention_stacked(
             in_specs=in_specs,
             out_specs=out_spec,
             scratch_shapes=[
-                pltpu.VMEM((hc * rp, 128), jnp.float32),  # running max
-                pltpu.VMEM((hc * rp, 128), jnp.float32),  # running denom
-                pltpu.VMEM((hc * rp, d), jnp.float32),    # running numerator
+                pltpu.VMEM((bc * hc * rp, 128), jnp.float32),  # running max
+                pltpu.VMEM((bc * hc * rp, 128), jnp.float32),  # denom
+                pltpu.VMEM((bc * hc * rp, d), jnp.float32),    # numerator
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((b, n_kv, rp, d), q.dtype),
