@@ -164,6 +164,41 @@ def main() -> None:
     _log(f"bf16 fit: {per_layer*1e3:.3f} ms/layer, "
          f"est {FULL_LAYERS}L = {t_bf_est*1e3:.2f} ms/step")
 
+    # ---------------- prefill micro-metric (VERDICT r1 #3) -----------------
+    # the promoted-int8 prefill path vs bf16 at the canonical prefill shape
+    # (1024 tokens, 4096->11008) — recorded so the prefill >= 1x bar lives
+    # in the driver-captured JSON, not just the README
+    from smoothquant_tpu.kernels.pack import promote_int8
+    from smoothquant_tpu.kernels.real_linear import real_quant_linear
+
+    _log("prefill micro-bench (1024, 4096->11008)")
+    kp, op_ = (cfg_at(1).hidden_size, cfg_at(1).intermediate_size)
+    n_pf = 64 if _TINY else 1024
+    pf_dt = jnp.float32 if _TINY else jnp.bfloat16  # CPU XLA lacks bf16 dot
+    pf_key = jax.random.PRNGKey(7)
+    w_pf = jax.random.normal(pf_key, (op_, kp), pf_dt) * 0.02
+    x_pf = jax.random.normal(jax.random.fold_in(pf_key, 1), (n_pf, kp),
+                             pf_dt)
+
+    def bf16_prefill(x, wt):
+        return jnp.dot(x, wt, preferred_element_type=jnp.float32
+                       ).astype(x.dtype)
+
+    t_pf_bf = time_steps(bf16_prefill, (x_pf, w_pf.T), iters=16, repeats=5)
+    pk_pf = promote_int8(pack_linear(
+        {"weight": w_pf, "bias": None}, qcfg,
+        importance=rng.uniform(0.1, 1.0, size=(kp,)), nibble=True,
+        compute_dtype=pf_dt))
+
+    def q_prefill(x, p):
+        return real_quant_linear(p, x, compute="int", interpret=_TINY)
+
+    t_pf_q = time_steps(q_prefill, (x_pf, pk_pf), iters=16, repeats=5)
+    _log(f"prefill bf16 {t_pf_bf*1e3:.3f} ms vs promoted-int8 "
+         f"{t_pf_q*1e3:.3f} ms ({t_pf_bf/t_pf_q:.2f}x)")
+    del w_pf, x_pf, pk_pf
+    gc.collect()
+
     # ---------------- packed model, full depth, built layer-by-layer -------
     cfg = cfg_at(FULL_LAYERS)
     key = jax.random.PRNGKey(2)
@@ -298,6 +333,9 @@ def main() -> None:
             "bf16_roofline_frac": round(
                 bf16_bytes / t_bf_est / chip.hbm_bw, 3),
             "roofline_bound_ms": round(bound_s * 1e3, 3),
+            "prefill_bf16_ms": round(t_pf_bf * 1e3, 3),
+            "prefill_int8_ms": round(t_pf_q * 1e3, 3),
+            "prefill_vs_bf16": round(t_pf_bf / t_pf_q, 3),
             "chip": chip.name,
             "batch": BATCH, "cache_len": CACHE, "layers": FULL_LAYERS,
         },
