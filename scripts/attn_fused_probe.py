@@ -80,12 +80,34 @@ def main():
             jnp.arange(L))
         return x
 
+    from smoothquant_tpu.kernels.attn_fused import fused_virtual_attn_stacked
+
+    def scan_virtual(q0_, kv0_, kq, vq, kss, vss):
+        def body(carry, i):
+            x, kq, vq, kss, vss = carry
+            qr = apply_rotary(q0_ + x[:, None, None, :D].astype(q0_.dtype)
+                              * 0.01, cos, sin)[:, 0]
+            a = fused_virtual_attn_stacked(
+                i, pos, qr, kv0_, kv0_, cos, sin, kq, vq, kss, vss)
+            kq, vq, kss, vss = write_quant_cache_stacked(
+                i, pos, kv0_, kv0_, cos, sin, kq, vq, kss, vss)
+            return (x + a.reshape(B, -1)[:, :D].astype(x.dtype) * 0.01,
+                    kq, vq, kss, vss), None
+
+        (x, *_), _ = jax.lax.scan(
+            body, (jnp.zeros((B, D), jnp.float32), kq, vq, kss, vss),
+            jnp.arange(L))
+        return x
+
     args = (q0, kv0, k_q, v_q, ks, vs)
     t_u = time_steps(scan_unfused, args, iters=16, repeats=5)
     t_f = time_steps(scan_fused, args, iters=16, repeats=5)
+    t_v = time_steps(scan_virtual, args, iters=16, repeats=5)
     print(f"unfused chain: {t_u*1e3:.3f} ms = {t_u/L*1e6:.1f} us/layer")
     print(f"fused kernel:  {t_f*1e3:.3f} ms = {t_f/L*1e6:.1f} us/layer "
           f"(saves {(t_u-t_f)/L*1e6:.1f} us/layer)")
+    print(f"virtual+writer: {t_v*1e3:.3f} ms = {t_v/L*1e6:.1f} us/layer "
+          f"(saves {(t_u-t_v)/L*1e6:.1f} us/layer)")
 
 
 if __name__ == "__main__":

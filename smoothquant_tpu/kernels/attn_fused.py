@@ -55,6 +55,78 @@ def _rot_half(x):
     return jnp.concatenate([-x[..., d // 2:], x[..., : d // 2]], axis=-1)
 
 
+def _make_inline_kernel(*, sm_scale: float, hc: int, rp: int, nkb: int,
+                        nst: int, ts: int, b: int, bc: int, d: int,
+                        rotary: bool):
+    """Virtual-tile attention WITHOUT a write phase: the new position's
+    rotary+quantize runs inline on each (batch, head)-block's LAST S-tile,
+    only for that block's heads — one fewer grid step than the phased
+    kernel and no cross-step scratch stash.  Numerics are bit-identical to
+    the phased variant (same per-head f32 rotate/absmax/round chain)."""
+
+    def kernel(idx_ref, q_ref, kn_ref, vn_ref, cos_ref, sin_ref,
+               kt_ref, vt_ref, kst_ref, vst_ref, o_ref,
+               m_ref, l_ref, acc_ref):
+        lpos = idx_ref[1]
+        st = pl.program_id(0) % nst
+        # current position's HBM row is stale (the aliased writer runs
+        # after): mask cols >= lpos; the new position rides the virtual tile
+        bias_row = jnp.where(
+            st * ts + jax.lax.broadcasted_iota(jnp.int32, (1, ts), 1)
+            < lpos, 0.0, NEG_INF)
+        for b2 in range(bc):
+            for j in range(hc):
+                _flash_head(
+                    q_ref[b2, j], kt_ref[0, b2, j].astype(jnp.bfloat16),
+                    vt_ref[0, b2, j].astype(jnp.bfloat16), bias_row,
+                    kst_ref[0, b2, j:j + 1], vst_ref[0, b2, j:j + 1],
+                    sm_scale, m_ref, l_ref, acc_ref,
+                    (b2 * hc + j) * rp,
+                    st == 0, False, o_ref, j, o_b=b2,
+                )
+
+        @pl.when(st == nst - 1)
+        def _virtual():
+            cos = cos_ref[:, 0].astype(jnp.float32)            # (bc, D)
+            sin = sin_ref[:, 0].astype(jnp.float32)
+
+            def quantize(x, rot: bool, b2: int):
+                # (hc, d) f32 — bit-identical to cache_write._kernel
+                if rot:
+                    x = x * cos[b2][None, :] + _rot_half(x) * sin[b2][None, :]
+                absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+                scale = jnp.maximum(absmax, 1e-8) / 127.0      # (hc, 1)
+                return jnp.round(x / scale), scale
+
+            # row-0 selection by MULTIPLY, not where: an (8,128) i1 mask
+            # against a sublane-broadcast row hits a Mosaic relayout bug
+            row0 = (jax.lax.broadcasted_iota(jnp.int32, (8, d), 0)
+                    == 0).astype(jnp.bfloat16)
+            bias_v = jnp.where(
+                jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1) == 0,
+                0.0, NEG_INF)
+            for b2 in range(bc):
+                k8, ksc = quantize(kn_ref[b2].astype(jnp.float32), rotary,
+                                   b2)
+                v8, vsc = quantize(vn_ref[b2].astype(jnp.float32), False,
+                                   b2)
+                k8 = k8.astype(jnp.bfloat16)   # ints in [-127,127]: exact
+                v8 = v8.astype(jnp.bfloat16)
+                for j in range(hc):
+                    k_t = k8[j][None, :] * row0
+                    v_t = v8[j][None, :] * row0
+                    _flash_head(
+                        q_ref[b2, j], k_t, v_t, bias_v,
+                        jnp.broadcast_to(ksc[j:j + 1], (1, 8)),
+                        jnp.broadcast_to(vsc[j:j + 1], (1, 8)),
+                        sm_scale, m_ref, l_ref, acc_ref,
+                        (b2 * hc + j) * rp,
+                        False, True, o_ref, j, o_b=b2,
+                    )
+
+    return kernel
+
+
 def _make_kernel(*, sm_scale: float, hc: int, rp: int, nkb: int, nst: int,
                  ts: int, b: int, bc: int, d: int, rotary: bool,
                  write_cache: bool):
@@ -211,6 +283,77 @@ def _fused_attn_call(layer_idx, pos, q, k_new, v_new, cos, sin,
     layer_idx = jnp.asarray(layer_idx, jnp.int32).reshape(())
     pos = jnp.asarray(pos, jnp.int32).reshape(())
     idx = jnp.stack([layer_idx, pos])
+
+    if not write_cache:
+        # inline-virtual kernel: no write phase, one grid step fewer
+        def cmap0(t, s_):
+            return (t // (nkb * nst), (t % (nkb * nst)) // nst, t % nst)
+
+        out = pl.pallas_call(
+            _make_inline_kernel(sm_scale=sm_scale, hc=hc, rp=rp, nkb=nkb,
+                                nst=nst, ts=ts, b=b, bc=bc, d=d,
+                                rotary=rotary),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=((b // bc) * nkb * nst,),
+                in_specs=[
+                    pl.BlockSpec(
+                        (bc, hc, rp, d),
+                        lambda t, s_: cmap0(t, s_)[:2] + (0, 0),
+                        memory_space=pltpu.VMEM),
+                    pl.BlockSpec((bc, hc, d),
+                                 lambda t, s_: cmap0(t, s_)[:2] + (0,),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((bc, hc, d),
+                                 lambda t, s_: cmap0(t, s_)[:2] + (0,),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((bc, 1, d),
+                                 lambda t, s_: (cmap0(t, s_)[0], 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((bc, 1, d),
+                                 lambda t, s_: (cmap0(t, s_)[0], 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(
+                        (1, bc, hc, ts, d),
+                        lambda t, s_: (s_[0],) + cmap0(t, s_)[:2]
+                        + (cmap0(t, s_)[2], 0),
+                        memory_space=pltpu.VMEM),
+                    pl.BlockSpec(
+                        (1, bc, hc, ts, d),
+                        lambda t, s_: (s_[0],) + cmap0(t, s_)[:2]
+                        + (cmap0(t, s_)[2], 0),
+                        memory_space=pltpu.VMEM),
+                    pl.BlockSpec(
+                        (1, bc, hc, ts),
+                        lambda t, s_: (s_[0],) + cmap0(t, s_),
+                        memory_space=pltpu.VMEM),
+                    pl.BlockSpec(
+                        (1, bc, hc, ts),
+                        lambda t, s_: (s_[0],) + cmap0(t, s_),
+                        memory_space=pltpu.VMEM),
+                ],
+                out_specs=[pl.BlockSpec(
+                    (bc, hc, rp, d),
+                    lambda t, s_: cmap0(t, s_)[:2] + (0, 0),
+                    memory_space=pltpu.VMEM)],
+                scratch_shapes=[
+                    pltpu.VMEM((bc * hc * rp, 128), jnp.float32),
+                    pltpu.VMEM((bc * hc * rp, 128), jnp.float32),
+                    pltpu.VMEM((bc * hc * rp, d), jnp.float32),
+                ],
+            ),
+            out_shape=[jax.ShapeDtypeStruct((b, n_kv, rp, d), q.dtype)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * b * h * s * d,
+                bytes_accessed=(2 * b * n_kv * s * d + b * h * d * 2 * 2),
+                transcendentals=b * h * s,
+            ),
+            interpret=interpret,
+        )(idx, q4, k_new, v_new, cos, sin, k_q, v_q, k_scale, v_scale)
+        return out[0][:, :, :rep].reshape(b, h, d)
 
     if write_cache:
         # The decode row/scale blocks are SLICED OUT here and written back
