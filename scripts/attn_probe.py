@@ -41,16 +41,27 @@ def main():
     vf = jnp.asarray(rng.normal(size=(L, B, H, S, D)), jnp.bfloat16)
 
     def step_i8(q_, k, v, b_, ks_, vs_):
-        return decode_attention_stacked(idx, q_, k, v, b_, ks_, vs_)
+        return decode_attention_stacked(idx, q_, k, v, b_, ks_, vs_,
+                                        int8_dots=True)
+
+    def step_i8_bf16dots(q_, k, v, b_, ks_, vs_):
+        return decode_attention_stacked(idx, q_, k, v, b_, ks_, vs_,
+                                        int8_dots=False)
 
     def step_fp(q_, k, v, b_):
         return decode_attention_stacked(idx, q_, k, v, b_)
 
     t8 = time_steps(step_i8, (q, k8, v8, bias, ks, vs), iters=64, repeats=5)
+    t8b = time_steps(step_i8_bf16dots, (q, k8, v8, bias, ks, vs),
+                     iters=64, repeats=5)
     tf = time_steps(step_fp, (q, kf, vf, bias), iters=64, repeats=5)
     bw8 = 2 * B * H * S * D / t8
+    bw8b = 2 * B * H * S * D / t8b
     bwf = 2 * 2 * B * H * S * D / tf
-    print(f"int8 cache: {t8*1e6:.1f} us  ({bw8/1e9:.0f} GB/s of kv bytes)")
+    print(f"int8 cache, int8 MXU dots: {t8*1e6:.1f} us  "
+          f"({bw8/1e9:.0f} GB/s of kv bytes)")
+    print(f"int8 cache, bf16 dots:     {t8b*1e6:.1f} us  "
+          f"({bw8b/1e9:.0f} GB/s of kv bytes)")
     print(f"bf16 cache: {tf*1e6:.1f} us  ({bwf/1e9:.0f} GB/s of kv bytes)")
 
 

@@ -62,12 +62,59 @@ def main() -> None:
         if ts["int"] <= ts["dequant"]:
             crossover = n
 
+    # --- identity-int8 (promote_int8 / lm_head) path: fused Pallas kernel
+    # vs the pure-XLA dot+epilogue composition.  Writes the N below which
+    # XLA wins (its tiny-N matvec dispatch beats the kernel's tiled grid).
+    from smoothquant_tpu.kernels.int8_prefill import int8_prefill_matmul
+    from smoothquant_tpu.kernels.pack import promote_int8
+
+    pk = promote_int8(pack_linear(
+        {"weight": jnp.asarray(w, jnp.bfloat16), "bias": None}, qcfg,
+        importance=imp, nibble=True))
+    sw = pk.w_scales_t.astype(jnp.float32).reshape(1, -1)
+    k_s = pk.w_sal_t.shape[0]
+    w_sal = pk.w_sal_t.astype(jnp.bfloat16)
+
+    def xla_path(sx_, xq, xs):
+        acc = jax.lax.dot_general(
+            xq, pk.w_qt, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        y = acc.astype(jnp.float32) * sx_ * sw
+        y = y + jax.lax.dot_general(
+            xs, w_sal, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return y.astype(jnp.bfloat16)
+
+    def kernel_path(sx_, xq, xs):
+        return int8_prefill_matmul(xq, sx_, pk.w_qt, sw, xs, w_sal,
+                                   out_dtype=jnp.bfloat16)
+
+    id_measured = {}
+    prefill_min = TOKENS[-1] + 1
+    for n in TOKENS:
+        # sx rides FIRST (float) so time_steps' anti-memoization
+        # perturbation feeds an operand both paths depend on
+        sx = jnp.asarray(rng.uniform(0.001, 0.01, (n, 1)), jnp.float32)
+        xq = jnp.asarray(rng.integers(-127, 128, (n, k)), jnp.int8)
+        xs = jnp.asarray(rng.standard_normal((n, k_s)), jnp.bfloat16)
+        iters = 256 if n <= 64 else max(32, 8192 // n)
+        t_x = time_steps(xla_path, (sx, xq, xs), iters=iters, repeats=5)
+        t_k = time_steps(kernel_path, (sx, xq, xs), iters=iters, repeats=5)
+        id_measured[str(n)] = {"xla": round(t_x * 1e3, 4),
+                               "kernel": round(t_k * 1e3, 4)}
+        print(f"# identity n={n}: xla {t_x*1e3:.3f} ms, "
+              f"kernel {t_k*1e3:.3f} ms", file=sys.stderr, flush=True)
+        if t_k <= t_x and n < prefill_min:
+            prefill_min = n
+
     out = {
         "int_path_max_tokens": crossover,
+        "prefill_kernel_min_tokens": prefill_min,
         "shape": list(SHAPE),
         "recipe": "w4a4 g64 5%-salient int8-container",
         "chip": roofline.detect_chip().name,
         "measured_ms": measured,
+        "identity_measured_ms": id_measured,
     }
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
                         "smoothquant_tpu", "kernels", "tuned.json")

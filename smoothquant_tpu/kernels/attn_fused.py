@@ -57,7 +57,7 @@ def _rot_half(x):
 
 def _make_inline_kernel(*, sm_scale: float, hc: int, rp: int, nkb: int,
                         nst: int, ts: int, b: int, bc: int, d: int,
-                        rotary: bool):
+                        rotary: bool, int8_dots: bool):
     """Virtual-tile attention WITHOUT a write phase: the new position's
     rotary+quantize runs inline on each (batch, head)-block's LAST S-tile,
     only for that block's heads — one fewer grid step than the phased
@@ -76,13 +76,17 @@ def _make_inline_kernel(*, sm_scale: float, hc: int, rp: int, nkb: int,
             < lpos, 0.0, NEG_INF)
         for b2 in range(bc):
             for j in range(hc):
+                k_t, v_t = kt_ref[0, b2, j], vt_ref[0, b2, j]
+                if not int8_dots:
+                    k_t = k_t.astype(jnp.bfloat16)
+                    v_t = v_t.astype(jnp.bfloat16)
                 _flash_head(
-                    q_ref[b2, j], kt_ref[0, b2, j].astype(jnp.bfloat16),
-                    vt_ref[0, b2, j].astype(jnp.bfloat16), bias_row,
+                    q_ref[b2, j], k_t, v_t, bias_row,
                     kst_ref[0, b2, j:j + 1], vst_ref[0, b2, j:j + 1],
                     sm_scale, m_ref, l_ref, acc_ref,
                     (b2 * hc + j) * rp,
                     st == 0, False, o_ref, j, o_b=b2,
+                    int8_dots=int8_dots,
                 )
 
         @pl.when(st == nst - 1)
@@ -129,7 +133,7 @@ def _make_inline_kernel(*, sm_scale: float, hc: int, rp: int, nkb: int,
 
 def _make_kernel(*, sm_scale: float, hc: int, rp: int, nkb: int, nst: int,
                  ts: int, b: int, bc: int, d: int, rotary: bool,
-                 write_cache: bool):
+                 write_cache: bool, int8_dots: bool):
     def kernel(*refs):
         pos_i = 0
         idx_ref = refs[pos_i]; pos_i += 1
@@ -213,13 +217,17 @@ def _make_kernel(*, sm_scale: float, hc: int, rp: int, nkb: int, nst: int,
                 < lpos, 0.0, NEG_INF)
             for b2 in range(bc):
                 for j in range(hc):
+                    k_t, v_t = kt_ref[0, b2, j], vt_ref[0, b2, j]
+                    if not int8_dots:
+                        k_t = k_t.astype(jnp.bfloat16)
+                        v_t = v_t.astype(jnp.bfloat16)
                     _flash_head(
-                        q_ref[b2, j], kt_ref[0, b2, j].astype(jnp.bfloat16),
-                        vt_ref[0, b2, j].astype(jnp.bfloat16), bias_row,
+                        q_ref[b2, j], k_t, v_t, bias_row,
                         kst_ref[0, b2, j:j + 1], vst_ref[0, b2, j:j + 1],
                         sm_scale, m_ref, l_ref, acc_ref,
                         (b2 * hc + j) * rp,
                         st == 0, False, o_ref, j, o_b=b2,
+                        int8_dots=int8_dots,
                     )
 
             @pl.when(st == nst - 1)
@@ -261,7 +269,7 @@ def fused_attn_supported(s: int, n_heads: int, n_kv: int,
 
 def _fused_attn_call(layer_idx, pos, q, k_new, v_new, cos, sin,
                      k_q, v_q, k_scale, v_scale, *, sm_scale, rotary,
-                     interpret, write_cache):
+                     interpret, write_cache, int8_dots):
     b, h, d = q.shape
     l_num, _, n_kv, s, _ = k_q.shape
     rep = h // n_kv
@@ -292,7 +300,7 @@ def _fused_attn_call(layer_idx, pos, q, k_new, v_new, cos, sin,
         out = pl.pallas_call(
             _make_inline_kernel(sm_scale=sm_scale, hc=hc, rp=rp, nkb=nkb,
                                 nst=nst, ts=ts, b=b, bc=bc, d=d,
-                                rotary=rotary),
+                                rotary=rotary, int8_dots=int8_dots),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=((b // bc) * nkb * nst,),
@@ -407,7 +415,7 @@ def _fused_attn_call(layer_idx, pos, q, k_new, v_new, cos, sin,
 
     kernel = _make_kernel(sm_scale=sm_scale, hc=hc, rp=rp, nkb=nkb, nst=nst,
                           ts=ts, b=b, bc=bc, d=d, rotary=rotary,
-                          write_cache=write_cache)
+                          write_cache=write_cache, int8_dots=int8_dots)
 
     in_specs = [q_spec, new_spec, new_spec, cs_spec, cs_spec]
     operands = [q4, k_new, v_new, cos, sin]
@@ -474,7 +482,8 @@ def _fused_attn_call(layer_idx, pos, q, k_new, v_new, cos, sin,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("sm_scale", "rotary", "interpret"))
+                   static_argnames=("sm_scale", "rotary", "interpret",
+                                    "int8_dots"))
 def fused_rope_write_attn_stacked(
     layer_idx: jax.Array,   # scalar int32
     pos: jax.Array,         # scalar int32 — aligned decode position
@@ -491,6 +500,7 @@ def fused_rope_write_attn_stacked(
     sm_scale: Optional[float] = None,
     rotary: bool = True,
     interpret: bool = False,
+    int8_dots: bool = False,
 ):
     """Returns (attn (B, H, D) in q.dtype, k_q', v_q', k_scale', v_scale').
 
@@ -503,11 +513,12 @@ def fused_rope_write_attn_stacked(
     return _fused_attn_call(layer_idx, pos, q, k_new, v_new, cos, sin,
                             k_q, v_q, k_scale, v_scale, sm_scale=sm_scale,
                             rotary=rotary, interpret=interpret,
-                            write_cache=True)
+                            write_cache=True, int8_dots=int8_dots)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("sm_scale", "rotary", "interpret"))
+                   static_argnames=("sm_scale", "rotary", "interpret",
+                                    "int8_dots"))
 def fused_virtual_attn_stacked(
     layer_idx: jax.Array,   # scalar int32
     pos: jax.Array,         # scalar int32 — aligned decode position
@@ -524,6 +535,7 @@ def fused_virtual_attn_stacked(
     sm_scale: Optional[float] = None,
     rotary: bool = True,
     interpret: bool = False,
+    int8_dots: bool = False,
 ) -> jax.Array:
     """Attention over the OLD cache + the new position from registers — no
     cache write at all.  Returns attn (B, H, D).
@@ -536,4 +548,4 @@ def fused_virtual_attn_stacked(
     return _fused_attn_call(layer_idx, pos, q, k_new, v_new, cos, sin,
                             k_q, v_q, k_scale, v_scale, sm_scale=sm_scale,
                             rotary=rotary, interpret=interpret,
-                            write_cache=False)
+                            write_cache=False, int8_dots=int8_dots)

@@ -43,19 +43,41 @@ def _ceil_to(x: int, m: int) -> int:
 
 def _flash_head(q, k_tile, v_tile, bias_row, ks_row, vs_row, sm_scale,
                 m_ref, l_ref, acc_ref, r0, is_first, is_last, o_ref, j,
-                alibi_row=None, o_b=0):
+                alibi_row=None, o_b=0, int8_dots=False):
     """One (head, S-tile) of streaming softmax.  q: (R, D); k/v tile:
     (TS, D); bias_row/ks_row/vs_row: (1, TS).  Scratch rows [r0, r0+R);
     output written to o_ref[0, j] on the last S-tile.  alibi_row: optional
     (1, TS) per-head additive ALiBi term (slope * key position), applied
-    AFTER the KV-scale multiply like the mask bias."""
+    AFTER the KV-scale multiply like the mask bias.
+
+    int8_dots=True: k_tile/v_tile arrive as RAW int8 and both BMMs run on
+    the MXU's int8 path — q requantized per row (scale sq), probs scaled by
+    the per-position V scale then requantized per row (scale sp) — the
+    reference's BMM_S8T_S8N_F32T / BMM_S8T_S8N_S8T attention semantics
+    (/root/reference/smoothquant/opt.py:44-45,79-84,189-190) with dynamic
+    instead of static requant scales.  Measured SLOWER than the bf16-dot
+    path at decode shapes (41.6 vs 35.7 us same-process A/B, scripts/
+    attn_probe.py): the kernel is DMA-issue-bound and the in-register
+    q/prob quantize chains cost more VPU than the int8→bf16 tile converts
+    they replace — kept as an opt-in for reference-semantics parity."""
     rp = q.shape[0]
     rows = slice(r0, r0 + rp)
-    scores = jax.lax.dot_general(
-        q, k_tile,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * sm_scale                                             # (R, TS)
+    if int8_dots:
+        qf = q.astype(jnp.float32)
+        sq = jnp.maximum(jnp.max(jnp.abs(qf), axis=1, keepdims=True),
+                         1e-8) * (1.0 / 127.0)               # (R, 1)
+        q8 = jnp.round(qf / sq).astype(jnp.int8)
+        scores = jax.lax.dot_general(
+            q8, k_tile,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * (sq * sm_scale)              # (R, TS)
+    else:
+        scores = jax.lax.dot_general(
+            q, k_tile,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale                                         # (R, TS)
     if ks_row is not None:
         scores = scores * ks_row.astype(jnp.float32)
     if alibi_row is not None:
@@ -75,11 +97,22 @@ def _flash_head(q, k_tile, v_tile, bias_row, ks_row, vs_row, sm_scale,
     l_new = jnp.where(is_first, p_sum, l_ref[rows, :1] * alpha + p_sum)
     if vs_row is not None:
         p = p * vs_row.astype(jnp.float32)
-    pv = jax.lax.dot_general(
-        p.astype(v_tile.dtype), v_tile,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                                        # (R, D)
+    if int8_dots:
+        # p >= 0 (exp * positive scale), so the row max IS the absmax
+        sp = jnp.maximum(jnp.max(p, axis=1, keepdims=True),
+                         1e-30) * (1.0 / 127.0)              # (R, 1)
+        p8 = jnp.round(p / sp).astype(jnp.int8)
+        pv = jax.lax.dot_general(
+            p8, v_tile,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * sp                           # (R, D)
+    else:
+        pv = jax.lax.dot_general(
+            p.astype(v_tile.dtype), v_tile,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                    # (R, D)
 
     acc_new = jnp.where(is_first, pv, acc_ref[rows] * alpha + pv)
     m_ref[rows, :1] = m_new
@@ -122,7 +155,7 @@ def _kernel_fp(idx_ref, q_ref, k_ref, v_ref, bias_ref, *rest,
 
 def _kernel_int8(idx_ref, q_ref, k_ref, v_ref, bias_ref, ks_ref, vs_ref,
                  *rest, sm_scale: float, hc: int, rp: int, bc: int,
-                 alibi: bool):
+                 alibi: bool, int8_dots: bool):
     del idx_ref
     sl_ref = rest[0] if alibi else None
     o_ref, m_ref, l_ref, acc_ref = rest[1 if alibi else 0:]
@@ -131,14 +164,18 @@ def _kernel_int8(idx_ref, q_ref, k_ref, v_ref, bias_ref, ks_ref, vs_ref,
     ts = k_ref.shape[3]
     for b2 in range(bc):
         for j in range(hc):
+            k_t, v_t = k_ref[0, b2, j], v_ref[0, b2, j]
+            if not int8_dots:
+                k_t = k_t.astype(jnp.bfloat16)
+                v_t = v_t.astype(jnp.bfloat16)
             _flash_head(
-                q_ref[b2, j], k_ref[0, b2, j].astype(jnp.bfloat16),
-                v_ref[0, b2, j].astype(jnp.bfloat16),
+                q_ref[b2, j], k_t, v_t,
                 bias_ref[b2, 0], ks_ref[0, b2, j:j + 1],
                 vs_ref[0, b2, j:j + 1],
                 sm_scale, m_ref, l_ref, acc_ref, (b2 * hc + j) * rp,
                 st == 0, st == n_st - 1, o_ref, j,
                 alibi_row=_alibi_row(sl_ref, j, ts), o_b=b2,
+                int8_dots=int8_dots,
             )
 
 
@@ -171,7 +208,8 @@ def _pick_h_chunk(n_kv: int, ts: int, d: int, itemsize: int) -> int:
     return 1  # single-head fallback (scale block legal only for n_kv == 1)
 
 
-@functools.partial(jax.jit, static_argnames=("sm_scale", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("sm_scale", "interpret", "int8_dots"))
 def decode_attention_stacked(
     layer_idx: jax.Array,              # (1,) int32
     q: jax.Array,                      # (B, H, D) — this layer's queries
@@ -186,11 +224,18 @@ def decode_attention_stacked(
     *,
     sm_scale: Optional[float] = None,
     interpret: bool = False,
+    int8_dots: bool = False,
 ) -> jax.Array:
     """Layer-stacked twin of decode_attention for lax.scan decode: the full
     stacked KV cache rides as a loop-invariant operand and scalar-prefetch
     index maps stream only layer `layer_idx`'s tiles (a scan-xs cache would
-    be slice-copied AND fully written back every layer)."""
+    be slice-copied AND fully written back every layer).
+
+    int8_dots (int8 caches only): run the QK^T and PV dots on the MXU's
+    int8 path with in-kernel q/prob requantization — the reference's
+    BMM_S8T_S8N_F32T / BMM_S8T_S8N_S8T semantics
+    (/root/reference/smoothquant/opt.py:44-45,79-84,189-190); False keeps
+    the dequantize-to-bf16 dots (einsum-parity numerics)."""
     b, h, d = q.shape
     l_num, _, n_kv, s, _ = k.shape
     rep = h // n_kv
@@ -235,7 +280,8 @@ def decode_attention_stacked(
             lambda bb, hh, st, i: (i[0], bb, hh, st),
             memory_space=pltpu.VMEM)
         kernel = functools.partial(_kernel_int8, sm_scale=sm_scale, hc=hc,
-                                   rp=rp, bc=bc, alibi=alibi)
+                                   rp=rp, bc=bc, alibi=alibi,
+                                   int8_dots=int8_dots)
         in_specs = [q_spec, kv_spec, kv_spec, bias_spec, sc_spec, sc_spec]
         operands = [q4, k, v, bias4, k_scale, v_scale]
     else:
@@ -295,7 +341,8 @@ def supported(s: int, n_heads: int, n_kv: int, head_dim: int) -> bool:
             and head_dim % 64 == 0)
 
 
-@functools.partial(jax.jit, static_argnames=("sm_scale", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("sm_scale", "interpret", "int8_dots"))
 def decode_attention(
     q: jax.Array,                      # (B, H, D)
     k: jax.Array,                      # (B, H_kv, S, D) bf16/f32 or int8
@@ -307,6 +354,7 @@ def decode_attention(
     *,
     sm_scale: Optional[float] = None,
     interpret: bool = False,
+    int8_dots: bool = False,
 ) -> jax.Array:
     """Returns (B, H, D) attention output in q.dtype.
 
@@ -321,5 +369,5 @@ def decode_attention(
         None if k_scale is None else k_scale[None],
         None if v_scale is None else v_scale[None],
         alibi_slopes,
-        sm_scale=sm_scale, interpret=interpret,
+        sm_scale=sm_scale, interpret=interpret, int8_dots=int8_dots,
     )

@@ -499,12 +499,19 @@ def promote_int8(packed: PackedLinear) -> PackedLinear:
     q8, scale = _promote_device(w_qt, packed.w_scales_t, packed.perm,
                                 group_size=m.group_size, k_ns_raw=k_ns_raw,
                                 c=m.in_features)
+    ns_mask = None
+    if m.num_salient:
+        # pack-time non-salient mask: saves the per-call scatter in the
+        # prefill prologue (real_linear._identity_int8_forward)
+        ns_mask = jnp.ones((m.in_features,), jnp.float32).at[
+            packed.perm[k_ns_raw:]].set(0.0)
     return PackedLinear(
         w_qt=q8,
         w_scales_t=scale,
         w_sal_t=packed.w_sal_t,
         bias=packed.bias,
         perm=packed.perm,
+        ns_mask=ns_mask,
         meta=dataclasses.replace(
             m, nibble=False, group_size=m.in_features, k_ns=m.in_features,
             act_quant="per_token", act_bits=8, layout="identity",

@@ -26,60 +26,99 @@ from smoothquant_tpu.quant.config import QuantConfig
 
 # below this many tokens the int8-MXU output-scaled kernel wins (memory
 # bound); above it the dequant kernel's full-depth MXU contractions win.
-# The default is overridden by kernels/tuned.json, written by
+# The defaults are overridden by kernels/tuned.json, written by
 # scripts/autotune.py from measurements on the actual chip.
 _INT_PATH_MAX_TOKENS = 256
+# identity-int8 (promote_int8 / lm_head) path: below this many tokens the
+# pure-XLA int8 dot + epilogue beats the fused Pallas kernel (XLA's tiny-N
+# matvec dispatch wins — measured 0.17 vs 0.60 ms at (4, 4096->32000));
+# at/above it the fused kernel's single-pass epilogue wins
+_PREFILL_KERNEL_MIN_TOKENS = 256
 _TUNED_LOADED = False
 
 
-def int_path_max_tokens() -> int:
-    global _INT_PATH_MAX_TOKENS, _TUNED_LOADED
-    if not _TUNED_LOADED:
-        _TUNED_LOADED = True
-        import json
-        import os
+def _load_tuned() -> None:
+    global _INT_PATH_MAX_TOKENS, _PREFILL_KERNEL_MIN_TOKENS, _TUNED_LOADED
+    if _TUNED_LOADED:
+        return
+    _TUNED_LOADED = True
+    import json
+    import os
 
-        path = os.path.join(os.path.dirname(__file__), "tuned.json")
-        try:
-            with open(path) as f:
-                _INT_PATH_MAX_TOKENS = int(json.load(f)["int_path_max_tokens"])
-        except (OSError, KeyError, ValueError):
-            pass
+    path = os.path.join(os.path.dirname(__file__), "tuned.json")
+    try:
+        with open(path) as f:
+            tuned = json.load(f)
+    except (OSError, ValueError):
+        return
+    _INT_PATH_MAX_TOKENS = int(
+        tuned.get("int_path_max_tokens", _INT_PATH_MAX_TOKENS))
+    _PREFILL_KERNEL_MIN_TOKENS = int(
+        tuned.get("prefill_kernel_min_tokens", _PREFILL_KERNEL_MIN_TOKENS))
+
+
+def int_path_max_tokens() -> int:
+    _load_tuned()
     return _INT_PATH_MAX_TOKENS
 
 
+def prefill_kernel_min_tokens() -> int:
+    _load_tuned()
+    return _PREFILL_KERNEL_MIN_TOKENS
+
+
 def _identity_int8_forward(packed: PackedLinear, x2d: jax.Array,
-                           out_dtype) -> jax.Array:
-    """Forward for promote_int8's identity layout: pure XLA — a masked
-    per-token int8 quantize, ONE full-depth int8 MXU contraction with a
-    fused per-token x per-column epilogue, and the salient columns on a
-    small fp side path.  No activation gather, no Pallas; XLA's int8 dot
-    runs at the chip's int8 peak (measured 2.3x bf16 at prefill shapes)."""
+                           out_dtype, interpret: bool = False) -> jax.Array:
+    """Forward for promote_int8's identity layout: a masked per-token int8
+    quantize (XLA, one fused pass over x), then ONE full-depth int8 MXU
+    contraction with the per-token x per-column scale epilogue AND the
+    salient fp side path fused in a single Pallas call
+    (kernels/int8_prefill.py) — the int32 accumulator never touches HBM.
+    No activation gather beyond the small salient column take."""
+    from smoothquant_tpu.kernels.int8_prefill import int8_prefill_matmul
     from smoothquant_tpu.quant.core import compute_scale
 
     meta = packed.meta
     c = meta.in_features
     xf = x2d.astype(jnp.float32)
+    k_s = packed.w_sal_t.shape[0]
     if meta.num_salient:
         sal_idx = packed.perm[c - meta.num_salient:]
-        ns = jnp.ones((c,), bool).at[sal_idx].set(False)
-        x_main = jnp.where(ns[None, :], xf, 0.0)
+        ns = (packed.ns_mask if packed.ns_mask is not None
+              else jnp.ones((c,), jnp.float32).at[sal_idx].set(0.0))
+        x_main = xf * ns[None, :]
+        x_sal = jnp.zeros((x2d.shape[0], k_s), packed.w_sal_t.dtype)
+        x_sal = x_sal.at[:, : meta.num_salient].set(
+            jnp.take(x2d, sal_idx, axis=-1).astype(x_sal.dtype))
     else:
         x_main = xf
+        x_sal = jnp.zeros((x2d.shape[0], 0), packed.w_sal_t.dtype)
     absmax = jnp.max(jnp.abs(x_main), axis=-1, keepdims=True)
     sx = compute_scale(absmax, 8)                            # (N, 1)
+    w_sal_t = (packed.w_sal_t if meta.num_salient
+               else packed.w_sal_t[:0])
+    # pre-quantized mode: XLA fuses the mask/round/divide into one pass
+    # over x.  (The kernel's raw-x mode re-runs the quantize per OUTPUT
+    # tile — measured 0.42 vs 0.34 ms at (1024, 4096->11008) — so the
+    # prologue stays here.)
     x_q = jnp.round(x_main / sx).astype(jnp.int8)
+    sw_t = packed.w_scales_t.astype(jnp.float32).reshape(1, -1)
+    use_kernel = (x2d.shape[0] >= prefill_kernel_min_tokens()
+                  and (interpret or jax.default_backend() == "tpu"))
+    if use_kernel:
+        return int8_prefill_matmul(
+            x_q, sx, packed.w_qt, sw_t, x_sal, w_sal_t,
+            out_dtype=out_dtype, interpret=interpret)
+    # small-N (decode lm_head) / non-TPU fallback: XLA int8 dot + epilogue
     acc = jax.lax.dot_general(
         x_q, packed.w_qt,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
-    y = (acc.astype(jnp.float32) * sx
-         * packed.w_scales_t.astype(jnp.float32))            # (N,1)x(1,O)
+    y = acc.astype(jnp.float32) * sx * sw_t
     if meta.num_salient:
-        x_sal = jnp.take(x2d, sal_idx, axis=-1).astype(packed.w_sal_t.dtype)
         y = y + jax.lax.dot_general(
-            x_sal, packed.w_sal_t[: meta.num_salient],
+            x_sal, w_sal_t,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -345,8 +384,9 @@ def real_quant_linear(
         return y.reshape(*shape[:-1], y.shape[-1])
 
     if meta.layout == "identity" and not meta.nibble:
-        # promote_int8 prefill layout, pure XLA
-        y = _identity_int8_forward(packed, x2d, out_dtype or x.dtype)
+        # promote_int8 prefill layout: fused Pallas epilogue kernel
+        y = _identity_int8_forward(packed, x2d, out_dtype or x.dtype,
+                                   interpret=interpret)
         if y.shape[-1] > meta.out_features:
             y = y[..., : meta.out_features]
         if packed.bias is not None:
