@@ -61,6 +61,12 @@ class ForwardContext:
     #                                over this mesh axis; each device runs
     #                                its local experts and the combined MoE
     #                                output is psum'd
+    cp_axis: Optional[str] = None  # inside shard_map: the SEQUENCE axis is
+    #                                sharded over this mesh axis and
+    #                                no-cache (prefill) attention runs as
+    #                                ring attention (parallel/cp.py) — K/V
+    #                                chunks stream around the ring via
+    #                                ppermute with a streaming softmax
     attn: str = "auto"  # cached-decode attention path: "kernel" = fused
     #                     Pallas flash-decode kernel, "einsum" = XLA
     #                     full-cache einsum, "auto" = kernel when the shape
@@ -353,6 +359,7 @@ def attention(
     scale: Optional[float] = None,
     valid_len: Optional[jax.Array] = None,
     attn_mask: Optional[jax.Array] = None,
+    ctx: Optional["ForwardContext"] = None,
 ) -> jax.Array:
     """Scaled dot-product attention with causal masking and GQA.
 
@@ -366,6 +373,16 @@ def attention(
     marking valid key positions (padding mask).  Softmax in float32
     (matching the reference INT8 path, opt.py:168-189).
     """
+    if ctx is not None and ctx.cp_axis is not None:
+        # context-parallel prefill: sequence-sharded q/k/v, KV chunks
+        # stream around the ring (parallel/cp.py).  Local causal masking
+        # only — callers express continuous-batching offsets via attn_mask.
+        from smoothquant_tpu.parallel.cp import ring_attention
+
+        assert valid_len is None, "cp prefill uses attn_mask, not valid_len"
+        return ring_attention(q, k, v, ctx.cp_axis, scale=scale,
+                              attn_mask=attn_mask)
+
     b, sq, nh, d = q.shape
     n_kv = k.shape[1]
     if n_kv != nh:

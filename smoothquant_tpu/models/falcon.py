@@ -163,7 +163,7 @@ def _decoder_layer(lp, x, cfg, name, cos, sin, ctx, cache, attn_mask):
                              attn_mask=attn_mask)
     else:
         a = attention(q, to_head_major(k), to_head_major(v),
-                      attn_mask=attn_mask)
+                      attn_mask=attn_mask, ctx=ctx)
     a = a.reshape(b, s, cfg.num_attention_heads * cfg.head_dim)
     attn_out = call_linear(sa["dense"], a, f"{name}.self_attention.dense", ctx)
 

@@ -202,7 +202,7 @@ def _decoder_layer(
                                     attn_mask=attn_mask)
     else:
         attn_out = attention(q, to_head_major(k), to_head_major(v),
-                             attn_mask=attn_mask)
+                             attn_mask=attn_mask, ctx=ctx)
     attn_out = attn_out.reshape(b, s, nh * d)
     x = residual + call_linear(sa["o_proj"], attn_out, f"{layer_name}.self_attn.o_proj", ctx)
 

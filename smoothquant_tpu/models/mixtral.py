@@ -308,7 +308,7 @@ def _decoder_layer(lp, x, cfg, name, cos, sin, ctx, cache, attn_mask):
                              attn_mask=attn_mask)
     else:
         a = attention(q, to_head_major(k), to_head_major(v),
-                      attn_mask=attn_mask)
+                      attn_mask=attn_mask, ctx=ctx)
     x = residual + call_linear(sa["o_proj"], a.reshape(b, s, nh * d),
                                f"{name}.self_attn.o_proj", ctx)
 

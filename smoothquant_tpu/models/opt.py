@@ -143,7 +143,7 @@ def _decoder_layer(lp, x, cfg, layer_name, ctx, cache, attn_mask):
                                     scale=1.0, attn_mask=attn_mask)
     else:
         attn_out = attention(q, to_head_major(k), to_head_major(v),
-                             scale=1.0, attn_mask=attn_mask)
+                             scale=1.0, attn_mask=attn_mask, ctx=ctx)
     attn_out = attn_out.reshape(b, s, h)
     x = residual + call_linear(sa["out_proj"], attn_out, f"{layer_name}.self_attn.out_proj", ctx)
     if not cfg.do_layer_norm_before:

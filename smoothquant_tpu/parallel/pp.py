@@ -1,0 +1,178 @@
+"""Pipeline parallelism: GPipe-style microbatched stages over a `pp` axis.
+
+The reference's only "pipeline" is accelerate's `device_map` layer
+placement — big-model memory spill with zero overlap (SURVEY.md §2.9,
+reference ppl_eval.py:70).  Here pipelining is a real schedule: the layer
+stack splits into `pp` contiguous stages (per-stage weights sharded over
+the mesh axis — the dominant memory), the batch splits into M
+microbatches, and a `lax.fori_loop` over M + pp - 1 ticks shifts
+activations stage-to-stage with `jax.lax.ppermute` (one ICI neighbor hop
+per tick).  Bubble fraction is (pp-1)/(M+pp-1) — raise `microbatches`
+to amortize.
+
+SPMD shape: every device runs the same program; at tick t device s
+computes microbatch (t - s) when 0 <= t-s < M and garbage otherwise
+(masked out of the output buffer).  Embeddings/final-norm/lm_head are
+replicated for program uniformity — per-layer weights dominate memory at
+depth; a production deployment would fold them into stage 0 / stage pp-1.
+
+Prefill-only (no KV cache threading): the pipeline's unit of work is a
+full-sequence forward, the same unit the reference evaluates.  Compatible
+with packed (real-kernel) params — stage weights are PackedLinears and
+run the Pallas int4/int8 path per stage.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+PP_AXIS = "pp"
+
+
+def make_pp_mesh(pp: Optional[int] = None,
+                 devices: Optional[Sequence] = None) -> Mesh:
+    """1-D (pp,) mesh; stage neighbors are ICI neighbors on real slices."""
+    import numpy as np
+    from jax.experimental import mesh_utils
+
+    devices = list(devices if devices is not None else jax.devices())
+    pp = pp or len(devices)
+    devices = devices[:pp]
+    if any(d.platform == "cpu" for d in devices):
+        arr = np.array(devices)
+    else:
+        arr = mesh_utils.create_device_mesh((pp,), devices=devices)
+    return Mesh(arr, (PP_AXIS,))
+
+
+def stack_pp_stages(params: dict, cfg, pp: int) -> dict:
+    """Restack a per-layer params dict into per-STAGE stacks.
+
+    Returns {"embed_tokens", "norm", "lm_head", "stages": pytree with every
+    leaf shaped (pp, L/pp, ...)} — leading axis sharded P(pp) under
+    make_pp_forward.  Works for fp, simulated-quant, and packed layer
+    trees (any pytree with identical per-layer structure).
+    """
+    n_layers = cfg.num_hidden_layers
+    if n_layers % pp:
+        raise ValueError(f"num_hidden_layers {n_layers} % pp {pp} != 0")
+    per = n_layers // pp
+    layer_list = [params["layers"][str(i)] for i in range(n_layers)]
+    stages = jax.tree.map(
+        lambda *xs: jnp.stack(xs).reshape(pp, per, *xs[0].shape),
+        *layer_list)
+    out = {k: v for k, v in params.items() if k != "layers"}
+    out["stages"] = stages
+    return out
+
+
+def make_pp_forward(mod, cfg, mesh: Mesh, *, microbatches: int = 0,
+                    compute: str = "auto", interpret: bool = False,
+                    quant=None):
+    """GPipe prefill forward for llama-family models.
+
+    Returns build(staged_params) -> fwd(staged_params, ids) -> logits
+    (B, S, V) float32.  staged_params from stack_pp_stages().  The batch
+    splits into `microbatches` (default = pp) equal microbatches.
+    """
+    from smoothquant_tpu.models.common import (ForwardContext,
+                                               rotary_cos_sin, unembed)
+
+    pp = mesh.shape[PP_AXIS]
+    n_mb = microbatches or pp
+
+    def build(staged):
+        specs = {
+            k: (jax.tree.map(lambda a: P(PP_AXIS), v) if k == "stages"
+                else jax.tree.map(lambda a: P(), v))
+            for k, v in staged.items()
+        }
+        ctx = ForwardContext(quant=quant, compute=compute,
+                             interpret=interpret)
+        perm = [(i, (i + 1) % pp) for i in range(pp)]
+
+        @jax.jit
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(specs, P(None, None)),
+            out_specs=P(None, None, None),
+            check_vma=False,
+        )
+        def fwd(local, ids):
+            s_idx = jax.lax.axis_index(PP_AXIS)
+            b, s = ids.shape
+            if b % n_mb:
+                raise ValueError(f"batch {b} % microbatches {n_mb} != 0")
+            bm = b // n_mb
+            h = local["embed_tokens"]["weight"].shape[-1]
+
+            emb = jnp.take(local["embed_tokens"]["weight"], ids, axis=0)
+            emb_mb = emb.reshape(n_mb, bm, s, h)
+            positions = jax.lax.broadcasted_iota(jnp.int32, (bm, s), 1)
+            cos, sin = rotary_cos_sin(positions, cfg.head_dim,
+                                      cfg.rope_theta)
+            stage_layers = jax.tree.map(lambda a: a[0], local["stages"])
+
+            def run_stage(x):
+                def body(carry, lp):
+                    y, _ = mod._decoder_layer(
+                        lp, carry, cfg, "model.layers.pp", cos, sin, ctx,
+                        None, None)
+                    return y, None
+
+                return jax.lax.scan(body, x, stage_layers)[0]
+
+            def tick(t, carry):
+                x_prev, outbuf = carry
+                # activation computed last tick arrives from stage s-1
+                x_in = jax.lax.ppermute(x_prev, PP_AXIS, perm)
+                mb_in = jnp.clip(t, 0, n_mb - 1)
+                x0 = jax.lax.dynamic_index_in_dim(
+                    emb_mb, mb_in, axis=0, keepdims=False)
+                x = jnp.where(s_idx == 0, x0, x_in)
+                y = run_stage(x)
+                my_mb = t - s_idx                 # microbatch I just did
+                write = jnp.logical_and(
+                    s_idx == pp - 1,
+                    jnp.logical_and(my_mb >= 0, my_mb < n_mb))
+                slot = jnp.clip(my_mb, 0, n_mb - 1)
+                cur = jax.lax.dynamic_index_in_dim(
+                    outbuf, slot, axis=0, keepdims=False)
+                outbuf = jax.lax.dynamic_update_index_in_dim(
+                    outbuf, jnp.where(write, y, cur), slot, axis=0)
+                return y, outbuf
+
+            out0 = jnp.zeros((n_mb, bm, s, h), emb.dtype)
+            _, outbuf = jax.lax.fori_loop(
+                0, n_mb + pp - 1, tick, (emb_mb[0], out0))
+
+            hs = outbuf.reshape(b, s, h)
+            from smoothquant_tpu.models.common import rms_norm
+
+            hs = rms_norm(local["norm"], hs, cfg.rms_norm_eps)
+            lm = local.get("lm_head")
+            if cfg.tie_word_embeddings or lm is None:
+                logits = unembed(hs, local["embed_tokens"]["weight"])
+            elif isinstance(lm, dict):
+                logits = unembed(hs, lm["weight"])
+            else:  # PackedLinear lm_head
+                from smoothquant_tpu.kernels.real_linear import (
+                    real_quant_linear,
+                )
+
+                logits = real_quant_linear(lm, hs, interpret=interpret,
+                                           out_dtype=jnp.float32)
+            # only stage pp-1 holds real activations; replicate its answer
+            logits = jnp.where(s_idx == pp - 1, logits, 0.0)
+            return jax.lax.psum(logits.astype(jnp.float32), PP_AXIS)
+
+        return fwd
+
+    return build
