@@ -74,43 +74,45 @@ class ContinuousBatcher:
 
         @jax.jit
         def _prefill(params, ids):
-            # fresh single-row cache for one slot's prompt
+            # fresh caches for a BATCH of same-bucket prompts (one row per
+            # admitted request — same-bucket admissions share one prefill
+            # launch; compiles once per (bucket, n_rows))
             caches = [
-                cache_cls.create(1, ids.shape[1], n_kv, cfg.head_dim, self.kv_dtype)
+                cache_cls.create(ids.shape[0], ids.shape[1], n_kv,
+                                 cfg.head_dim, self.kv_dtype)
                 for _ in range(cfg.num_hidden_layers)
             ]
             logits, caches = self.mod.forward(params, ids, cfg, ctx=self.ctx,
                                               caches=caches)
-            rows = [
-                type(c)(**{f: (getattr(c, f) if f == "pos" else getattr(c, f)[0])
-                           for f in c._fields})
-                for c in caches
-            ]
-            return logits, rows
+            return logits, caches
 
         @jax.jit
-        def _scatter(caches, row_caches, slot, new_pos):
+        def _scatter(caches, batch_caches, row, slot, new_pos):
+            """Copy row `row` of a batched prefill cache into pool slot
+            `slot` (row/slot/new_pos are traced scalars — one compile)."""
             out = []
-            for c, rc in zip(caches, row_caches):
+            for c, rc in zip(caches, batch_caches):
                 new_fields = {}
                 for field in c._fields:
                     if field == "pos":
                         new_fields["pos"] = getattr(c, "pos").at[slot].set(new_pos)
                         continue
                     buf = getattr(c, field)
-                    row = getattr(rc, field)
+                    full = getattr(rc, field)
+                    r = jax.lax.dynamic_index_in_dim(full, row, axis=0,
+                                                     keepdims=False)
                     # a prefill bucket may exceed max_len; cache positions
                     # past max_len are bucket padding (never attended to) —
                     # drop them on whichever axis outgrew the pool buffer
                     # (S sits at a different axis per field in the
                     # head-major layout)
-                    for ax in range(row.ndim):
-                        if row.shape[ax] > buf.shape[1 + ax]:
-                            row = jax.lax.slice_in_dim(
-                                row, 0, buf.shape[1 + ax], axis=ax)
+                    for ax in range(r.ndim):
+                        if r.shape[ax] > buf.shape[1 + ax]:
+                            r = jax.lax.slice_in_dim(
+                                r, 0, buf.shape[1 + ax], axis=ax)
                     start = (slot,) + (0,) * (buf.ndim - 1)
                     new_fields[field] = jax.lax.dynamic_update_slice(
-                        buf, row[None].astype(buf.dtype), start)
+                        buf, r[None].astype(buf.dtype), start)
                 out.append(type(c)(**new_fields))
             return out
 
@@ -133,28 +135,47 @@ class ContinuousBatcher:
         self.queue.append(req)
 
     def _admit(self) -> None:
-        for slot in range(self.max_batch):
-            if self.slot_req[slot] is not None or not self.queue:
-                continue
-            req = self.queue.pop(0)
-            s_true = len(req.prompt)
-            s_pad = _bucket(s_true)
-            ids = np.zeros((1, s_pad), np.int32)
-            ids[0, :s_true] = req.prompt
-            logits, kv_rows = self._prefill(self.prefill_params,
-                                            jnp.asarray(ids))
-            # cache pos resumes at the TRUE length: bucket-pad rows are never
-            # attended to (key_valid masks them) and decode overwrites them
-            # one token at a time, so padding consumes no cache capacity
-            self.caches = self._scatter(self.caches, kv_rows,
-                                        jnp.int32(slot), jnp.int32(s_true))
-            self.key_valid[slot, :] = False
-            self.key_valid[slot, :s_true] = True
-            self.seq_pos[slot] = s_true
-            self.slot_req[slot] = req
-            # first generated token comes from the last TRUE prompt position
-            first = int(np.argmax(np.asarray(logits)[0, s_true - 1]))
-            self._emit(slot, first)
+        free = [s for s in range((self.max_batch))
+                if self.slot_req[s] is None]
+        if not free or not self.queue:
+            return
+        # group waiting requests by prefill bucket: same-bucket admissions
+        # share ONE batched prefill launch (weak #8: prefill used to run
+        # one request at a time)
+        while free and self.queue:
+            head_bucket = _bucket(len(self.queue[0].prompt))
+            batch: list[Request] = []
+            rest: list[Request] = []
+            for req in self.queue:
+                if (len(batch) < len(free)
+                        and _bucket(len(req.prompt)) == head_bucket):
+                    batch.append(req)
+                else:
+                    rest.append(req)
+            self.queue = rest
+            ids = np.zeros((len(batch), head_bucket), np.int32)
+            for i, req in enumerate(batch):
+                ids[i, : len(req.prompt)] = req.prompt
+            logits, kv_batch = self._prefill(self.prefill_params,
+                                             jnp.asarray(ids))
+            logits = np.asarray(logits)
+            for i, req in enumerate(batch):
+                slot = free.pop(0)
+                s_true = len(req.prompt)
+                # cache pos resumes at the TRUE length: bucket-pad rows are
+                # never attended to (key_valid masks them) and decode
+                # overwrites them one token at a time, so padding consumes
+                # no cache capacity
+                self.caches = self._scatter(self.caches, kv_batch,
+                                            jnp.int32(i), jnp.int32(slot),
+                                            jnp.int32(s_true))
+                self.key_valid[slot, :] = False
+                self.key_valid[slot, :s_true] = True
+                self.seq_pos[slot] = s_true
+                self.slot_req[slot] = req
+                # first generated token: the last TRUE prompt position
+                first = int(np.argmax(logits[i, s_true - 1]))
+                self._emit(slot, first)
 
     def _emit(self, slot: int, token: int) -> None:
         req = self.slot_req[slot]

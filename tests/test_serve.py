@@ -86,6 +86,28 @@ class TestContinuousBatching:
             expected = greedy_oracle(jllama, params, cfg, list(r.prompt), 4)
             assert r.generated == expected, (r.uid, r.generated, expected)
 
+    def test_mixed_buckets_batched_admission(self, tiny_llama):
+        """Admission groups same-bucket prompts into ONE batched prefill;
+        mixed buckets admit in separate launches — all oracle-exact."""
+        cfg, params = tiny_llama
+        rng = np.random.default_rng(11)
+        batcher = ContinuousBatcher(jllama, params, cfg, max_batch=4,
+                                    max_len=128)
+        # buckets: 32, 32, 64, 32 — the three 32s share one prefill
+        lens = [5, 9, 40, 12]
+        reqs = [
+            Request(uid=i, prompt=rng.integers(0, cfg.vocab_size, size=(n,)),
+                    max_new_tokens=3)
+            for i, n in enumerate(lens)
+        ]
+        for r in reqs:
+            batcher.submit(r)
+        done = batcher.run_to_completion()
+        assert len(done) == 4
+        for r in reqs:
+            expected = greedy_oracle(jllama, params, cfg, list(r.prompt), 3)
+            assert r.generated == expected, (r.uid, r.generated, expected)
+
     def test_eos_stops_early(self, tiny_llama):
         cfg, params = tiny_llama
         rng = np.random.default_rng(4)
