@@ -359,6 +359,7 @@ def attention(
     scale: Optional[float] = None,
     valid_len: Optional[jax.Array] = None,
     attn_mask: Optional[jax.Array] = None,
+    sliding_window: Optional[int] = None,
     ctx: Optional["ForwardContext"] = None,
 ) -> jax.Array:
     """Scaled dot-product attention with causal masking and GQA.
@@ -380,6 +381,11 @@ def attention(
         from smoothquant_tpu.parallel.cp import ring_attention
 
         assert valid_len is None, "cp prefill uses attn_mask, not valid_len"
+        assert sliding_window is None, (
+            "ring attention does not implement sliding windows")
+        assert isinstance(causal_offset, int) and causal_offset == 0, (
+            "cp prefill masks causally from the ring's global offsets; a "
+            "nonzero causal_offset would be silently dropped here")
         return ring_attention(q, k, v, ctx.cp_axis, scale=scale,
                               attn_mask=attn_mask)
 
@@ -405,6 +411,11 @@ def attention(
         return x.reshape(-1, 1, 1, 1) if x.ndim == 1 else x
 
     mask = kj <= qi + per_batch(causal_offset)
+    if sliding_window is not None:
+        # Mistral sliding-window (HF modeling_mistral sliding-window mask):
+        # query at absolute position p attends to keys in (p - W, p]
+        mask = jnp.logical_and(
+            mask, kj > qi + per_batch(causal_offset) - sliding_window)
     if valid_len is not None:
         mask = jnp.logical_and(mask, kj < per_batch(valid_len))
     if attn_mask is not None:
@@ -428,6 +439,7 @@ def cached_attention(
     ctx: Optional[ForwardContext] = None,
     scale: Optional[float] = None,
     attn_mask: Optional[jax.Array] = None,
+    sliding_window: Optional[int] = None,
 ) -> jax.Array:
     """Attention over an (already-updated) KVCache/QuantKVCache.
 
@@ -461,6 +473,12 @@ def cached_attention(
         valid = jnp.broadcast_to(jnp.asarray(cache.pos, jnp.int32), (b,))
         col = jax.lax.broadcasted_iota(jnp.int32, (b, s), 1)
         ok = col < valid[:, None]
+        if sliding_window is not None:
+            # single-token decode: the query sits at absolute position
+            # causal_offset; only keys in (pos - W, pos] stay visible
+            qpos = jnp.broadcast_to(
+                jnp.asarray(causal_offset, jnp.int32), (b,))
+            ok = jnp.logical_and(ok, col > qpos[:, None] - sliding_window)
         if attn_mask is not None:
             ok = jnp.logical_and(ok, attn_mask.astype(bool))
         bias = jnp.where(ok, 0.0, da.NEG_INF).astype(jnp.float32)
@@ -476,7 +494,8 @@ def cached_attention(
         return out[:, None]
 
     return attention(q, *cache.read(), causal_offset=causal_offset,
-                     valid_len=cache.pos, scale=scale, attn_mask=attn_mask)
+                     valid_len=cache.pos, scale=scale, attn_mask=attn_mask,
+                     sliding_window=sliding_window)
 
 
 def unembed(x: jax.Array, embedding: jax.Array) -> jax.Array:
@@ -605,13 +624,18 @@ def stacked_cache_append_fused(cache, i, k_new, v_new, cos, sin, ctx,
     return stacked_cache_append(cache, i, k_new, v_new)
 
 
-def decode_bias(pos_i, b: int, s_max: int, attn_mask) -> jax.Array:
+def decode_bias(pos_i, b: int, s_max: int, attn_mask,
+                sliding_window: Optional[int] = None) -> jax.Array:
     """(B, S_max) additive f32 bias for single-token decode: 0 on valid key
-    positions (< pos_i + 1, minus attn_mask holes), -inf elsewhere."""
+    positions (< pos_i + 1, minus attn_mask holes, minus keys that fell out
+    of a sliding window), -inf elsewhere."""
     from smoothquant_tpu.kernels import decode_attention as da
 
     col = jax.lax.broadcasted_iota(jnp.int32, (b, s_max), 1)
     ok = col < pos_i + 1
+    if sliding_window is not None:
+        # the query decodes at absolute position pos_i: keys (pos_i - W, pos_i]
+        ok = jnp.logical_and(ok, col > pos_i - sliding_window)
     if attn_mask is not None:
         ok = jnp.logical_and(ok, attn_mask.astype(bool))
     return jnp.where(ok, 0.0, da.NEG_INF).astype(jnp.float32)

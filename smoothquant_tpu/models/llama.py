@@ -6,9 +6,12 @@ this family live in fake_quant.py:464-561 and smooth.py:126-141.  Here the
 model is ours: params pytree + pure forward, with quantization and
 calibration reached through ForwardContext.
 
-Mistral is this architecture with sliding-window attention; set
-config.sliding_window (the reference's eval windows are 2048 < 4096, so the
-window never binds in its workloads).
+Mistral is this architecture with sliding-window attention: when
+config.sliding_window is set, every attention path (prefill mask, cached
+decode bias, prefetch-scan decode) masks keys older than the window,
+matching HF modeling_mistral (the reference quantizes Mistral via
+fake_quant.py:464-561 and inherits HF's windowed attention; its own 2048
+eval windows never bind the default 4096 window).
 """
 
 from __future__ import annotations
@@ -199,10 +202,12 @@ def _decoder_layer(
         offset = cache.pos
         cache = cache.update(k, v)
         attn_out = cached_attention(q, cache, causal_offset=offset, ctx=ctx,
-                                    attn_mask=attn_mask)
+                                    attn_mask=attn_mask,
+                                    sliding_window=cfg.sliding_window)
     else:
         attn_out = attention(q, to_head_major(k), to_head_major(v),
-                             attn_mask=attn_mask, ctx=ctx)
+                             attn_mask=attn_mask, ctx=ctx,
+                             sliding_window=cfg.sliding_window)
     attn_out = attn_out.reshape(b, s, nh * d)
     x = residual + call_linear(sa["o_proj"], attn_out, f"{layer_name}.self_attn.o_proj", ctx)
 
@@ -318,6 +323,10 @@ def _prefetch_scan_decode(params, x, cfg, ctx, caches, cos, sin, attn_mask):
     attn_mode = ctx.fuse_attn if ctx is not None else "auto"
     if not (isinstance(caches, _QKV) and attn_mask is None):
         attn_mode = "off"
+    if cfg.sliding_window is not None:
+        # Mistral: the window mask is not folded into the virtual-tile
+        # kernels; the explicit decode_bias path carries it
+        attn_mode = "off"
 
     def body(carry, i):
         x, cache = carry
@@ -377,7 +386,8 @@ def _prefetch_scan_decode(params, x, cfg, ctx, caches, cos, sin, attn_mask):
         else:
             cache, pos_i = stacked_cache_append_fused(cache, i, k, v, cos,
                                                       sin, ctx)
-            bias = decode_bias(pos_i, b, s_max, attn_mask)
+            bias = decode_bias(pos_i, b, s_max, attn_mask,
+                               cfg.sliding_window)
             a = stacked_flash_attention(cache, i, q[:, 0], bias, ctx)
         a = a[:, None].reshape(b, s, nh * d)
         x = residual + call_linear(sa["o_proj"], a, f"{nm}.o", ctx,

@@ -57,8 +57,11 @@ def stack_pp_stages(params: dict, cfg, pp: int) -> dict:
 
     Returns {"embed_tokens", "norm", "lm_head", "stages": pytree with every
     leaf shaped (pp, L/pp, ...)} — leading axis sharded P(pp) under
-    make_pp_forward.  Works for fp, simulated-quant, and packed layer
-    trees (any pytree with identical per-layer structure).
+    make_pp_forward.  Works for any pytree with identical per-layer
+    structure; exercised on fp and simulated-quant trees (tests/
+    test_cp_pp.py).  Packed (PackedLinear) trees additionally require
+    identical static PackedMeta across layers — untested, treat as
+    experimental.
     """
     n_layers = cfg.num_hidden_layers
     if n_layers % pp:

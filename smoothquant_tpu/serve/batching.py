@@ -76,7 +76,8 @@ class ContinuousBatcher:
         def _prefill(params, ids):
             # fresh caches for a BATCH of same-bucket prompts (one row per
             # admitted request — same-bucket admissions share one prefill
-            # launch; compiles once per (bucket, n_rows))
+            # launch; _admit pads rows to a power of two, so this compiles
+            # at most (buckets x log2(max_batch)+1) times)
             caches = [
                 cache_cls.create(ids.shape[0], ids.shape[1], n_kv,
                                  cfg.head_dim, self.kv_dtype)
@@ -141,7 +142,12 @@ class ContinuousBatcher:
             return
         # group waiting requests by prefill bucket: same-bucket admissions
         # share ONE batched prefill launch (weak #8: prefill used to run
-        # one request at a time)
+        # one request at a time).  Scheduling POLICY (intended): within one
+        # admission pass, later requests that share the head-of-queue's
+        # bucket are admitted ahead of earlier different-bucket requests —
+        # batching same-shape prefills beats strict FIFO on throughput, and
+        # the pass always starts from the current queue head, so no bucket
+        # can be starved.
         while free and self.queue:
             head_bucket = _bucket(len(self.queue[0].prompt))
             batch: list[Request] = []
@@ -153,7 +159,14 @@ class ContinuousBatcher:
                 else:
                     rest.append(req)
             self.queue = rest
-            ids = np.zeros((len(batch), head_bucket), np.int32)
+            # pad the admission batch to a power-of-two row count: _prefill
+            # then compiles per (bucket, pow2-rows) instead of per
+            # (bucket, exact-rows) — at most log2(max_batch)+1 variants per
+            # bucket.  Padding rows are dummy prompts, never scattered.
+            n_rows = 1
+            while n_rows < len(batch):
+                n_rows *= 2
+            ids = np.zeros((n_rows, head_bucket), np.int32)
             for i, req in enumerate(batch):
                 ids[i, : len(req.prompt)] = req.prompt
             logits, kv_batch = self._prefill(self.prefill_params,

@@ -51,9 +51,10 @@ def _composition(layer, pos, q, k_new, v_new, cos, sin, k_q, v_q, ks, vs,
 
 
 # int8_dots=False pins the streaming-softmax STRUCTURE tight (both sides
-# dequantize to bf16 → f32-rounding-level agreement).  int8_dots=True (the
-# default on TPU) additionally requantizes q and the probs onto the MXU's
-# int8 path — the reference's BMM_S8T_S8N_S8T prob quantization
+# dequantize to bf16 → f32-rounding-level agreement).  int8_dots=True (an
+# opt-in reference-semantics path — every entry point defaults it off,
+# it measured slower at decode shapes) additionally requantizes q and the
+# probs onto the MXU's int8 path — the reference's BMM_S8T_S8N_S8T prob quantization
 # (opt.py:189-190) — whose rounding differs between the fused kernel's
 # virtual-tile order and the composition's in-tile order, so parity is
 # quant-noise-level (~0.5/127 of the dominant prob).
