@@ -73,7 +73,12 @@ def main(argv=None) -> None:
     for sp in args.salient_props:
         for g in args.group_sizes:
             qcfg = w4a4_group(group_size=g, salient_prop=sp)
-            overrides = {"quant_bits": args.quant_bits}
+            # the reference sweep calls quantize_opt/llama_like with their
+            # signature defaults for quantize_bmm_input — True for OPT-like
+            # archs, False for llama-like (fake_quant.py:381,468)
+            overrides = {"quant_bits": args.quant_bits,
+                         "quantize_bmm_input": arch in ("opt", "falcon",
+                                                        "bloom")}
             if args.sort == "none":
                 overrides.update(weight_quant="per_group_unsorted",
                                  act_quant="per_group_unsorted")

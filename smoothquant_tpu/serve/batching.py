@@ -127,6 +127,40 @@ class ContinuousBatcher:
             return jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32), caches
 
         self._prefill, self._scatter, self._decode = _prefill, _scatter, _decode
+        self._decode_chunks: dict[int, object] = {}
+
+    def _get_decode_chunk(self, k: int):
+        """Jitted K-step on-device greedy decode (lax.scan over _decode's
+        body).  One host round trip per K tokens instead of per token — on
+        a remote/tunneled chip the per-step host fetch dominates the decode
+        itself, and real serving loops only need host control at EOS/admit
+        granularity.  Tokens generated after a request's EOS inside a chunk
+        are discarded host-side (attention is per-slot, so they cannot
+        perturb other requests)."""
+        if k in self._decode_chunks:
+            return self._decode_chunks[k]
+        cfg, b = self.cfg, self.max_batch
+        rows = jnp.arange(b)
+
+        @jax.jit
+        def _decode_k(params, tok, caches, positions, key_valid):
+            def body(carry, _):
+                tok, caches, positions, key_valid = carry
+                cache_pos = jnp.asarray(caches[0].pos, jnp.int32)
+                key_valid = key_valid.at[rows, cache_pos].set(True)
+                logits, caches = self.mod.forward(
+                    params, tok[:, None], cfg, ctx=self.ctx, caches=caches,
+                    positions=positions[:, None], attn_mask=key_valid,
+                )
+                nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+                return (nxt, caches, positions + 1, key_valid), nxt
+
+            (_, caches, positions, key_valid), toks = jax.lax.scan(
+                body, (tok, caches, positions, key_valid), None, length=k)
+            return toks, caches, key_valid
+
+        self._decode_chunks[k] = _decode_k
+        return _decode_k
 
     # ------------------------------------------------------------------ API
 
@@ -231,10 +265,45 @@ class ContinuousBatcher:
                 finished.append(req)
         return finished
 
-    def run_to_completion(self, max_steps: int = 10_000) -> list[Request]:
+    def step_chunk(self, k: int) -> list[Request]:
+        """Admit, then decode K tokens in ONE device dispatch (see
+        _get_decode_chunk).  Admission happens only at chunk boundaries;
+        emitted tokens match k calls of step() exactly under greedy
+        decoding."""
+        if k == 1:
+            return self.step()
+        self._admit()
+        active = [s for s in range(self.max_batch)
+                  if self.slot_req[s] is not None]
+        if not active:
+            return []
+        tok = np.zeros(self.max_batch, np.int32)
+        for s in active:
+            tok[s] = self.slot_req[s].generated[-1]
+        toks, self.caches, kv_dev = self._get_decode_chunk(k)(
+            self.params, jnp.asarray(tok), self.caches,
+            jnp.asarray(self.seq_pos), jnp.asarray(self.key_valid),
+        )
+        self._steps += k
+        toks = np.asarray(toks)                       # (k, B)
+        self.key_valid = np.asarray(kv_dev).astype(bool)
+        finished = []
+        for s in active:
+            self.seq_pos[s] += k
+        for s in active:
+            req = self.slot_req[s]
+            for t in range(k):
+                self._emit(s, int(toks[t, s]))
+                if req.done:
+                    finished.append(req)
+                    break
+        return finished
+
+    def run_to_completion(self, max_steps: int = 10_000,
+                          chunk: int = 1) -> list[Request]:
         done = []
         for _ in range(max_steps):
-            done.extend(self.step())
+            done.extend(self.step_chunk(chunk) if chunk > 1 else self.step())
             if not self.queue and all(r is None for r in self.slot_req):
                 break
         return done

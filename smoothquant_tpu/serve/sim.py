@@ -1,0 +1,173 @@
+"""Discrete-event scaling simulation for the cluster serving tier.
+
+Real multi-host hardware does not exist in this container, so the
+north-star scaling-efficiency claim is validated in SIMULATION: the real
+`ClusterFrontend` routing (least outstanding work) and the real
+`ContinuousBatcher` admission policy (bucket-grouped, pow2-row prefill
+batches) run unchanged, but each replica's engine is a `SimBatcher` whose
+decode/prefill charge a measured COST MODEL to a virtual per-host clock
+instead of touching a device.  Feed it per-step costs measured on the real
+chip (bench.py does) and a skewed arrival trace; it returns tokens,
+makespan, and scaling efficiency vs a single host.
+
+This is labeled simulation, not measurement: it validates scheduling
+quality (imbalance, admission batching, routing) under the measured
+per-host costs, not DCN transport.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+from smoothquant_tpu.serve.batching import ContinuousBatcher, Request
+from smoothquant_tpu.serve.cluster import ClusterFrontend
+
+
+@dataclasses.dataclass
+class CostModel:
+    """Virtual per-host step costs, in seconds (measure on the real chip)."""
+
+    decode_step_s: float                 # one batched decode step
+    prefill_s_per_token: float           # per (padded) prompt token row
+    prefill_base_s: float = 0.0          # per prefill launch
+
+
+@dataclasses.dataclass
+class Arrival:
+    t: float
+    request: Request
+
+
+class SimBatcher(ContinuousBatcher):
+    """ContinuousBatcher with the device replaced by a virtual clock.
+
+    Inherits _admit / _emit / submit / queue semantics untouched — the
+    scheduling behavior under test is the real code path — and overrides
+    only the jitted device calls (stubs) and step() (charges
+    cost.decode_step_s instead of decoding).
+    """
+
+    def __init__(self, cost: CostModel, max_batch: int = 4,
+                 max_len: int = 512):
+        # NOTE: deliberately does NOT call super().__init__ — no model, no
+        # jit, no real caches.  Only the state _admit/_emit/step touch.
+        self.cost = cost
+        self.max_batch, self.max_len = max_batch, max_len
+        self.clock = 0.0
+        self.key_valid = np.zeros((max_batch, max_len), bool)
+        self.seq_pos = np.zeros(max_batch, np.int32)
+        self.slot_req: list[Optional[Request]] = [None] * max_batch
+        self.queue: list[Request] = []
+        self._steps = 0
+        self.prefill_params = None
+        self.params = None
+
+        class _Caches:
+            pos = np.zeros(max_batch, np.int64)
+
+        self.caches = [_Caches()]
+
+        def _prefill(params, ids):
+            rows, bucket = ids.shape
+            self.clock += (cost.prefill_base_s
+                           + cost.prefill_s_per_token * rows * bucket)
+            # greedy argmax of zeros → token 0; content is irrelevant (no
+            # EOS in sim traces, max_new_tokens terminates)
+            logits = np.zeros((rows, bucket, 2), np.float32)
+            return logits, None
+
+        def _scatter(caches, kv_batch, row, slot, new_pos):
+            return caches
+
+        self._prefill, self._scatter = _prefill, _scatter
+
+    def step(self) -> list[Request]:
+        self._admit()
+        active = [s for s in range(self.max_batch)
+                  if self.slot_req[s] is not None]
+        if not active:
+            return []
+        self.clock += self.cost.decode_step_s
+        self._steps += 1
+        finished = []
+        for s in active:
+            self.seq_pos[s] += 1
+            req = self.slot_req[s]
+            self._emit(s, 0)
+            if req.done:
+                finished.append(req)
+        return finished
+
+
+def skewed_trace(n_requests: int, seed: int = 0, *, max_len: int = 512,
+                 mean_arrival_s: float = 0.005) -> list[Arrival]:
+    """Bursty arrivals (exponential gaps) with long-tailed prompt/output
+    lengths — the load-skew case the round-robin tier must absorb."""
+    rng = np.random.default_rng(seed)
+    t = 0.0
+    out = []
+    for i in range(n_requests):
+        t += float(rng.exponential(mean_arrival_s))
+        p_len = int(np.clip(rng.lognormal(3.5, 1.0), 4, max_len // 2))
+        m_new = int(np.clip(rng.lognormal(3.0, 0.8), 4, max_len // 2))
+        m_new = min(m_new, max_len - p_len)
+        prompt = rng.integers(1, 100, size=(p_len,)).astype(np.int32)
+        out.append(Arrival(t, Request(uid=i, prompt=prompt,
+                                      max_new_tokens=m_new)))
+    return out
+
+
+def simulate_cluster(n_hosts: int, trace: list[Arrival], cost: CostModel,
+                     *, max_batch: int = 4, max_len: int = 512) -> dict:
+    """Event-driven run: always advance the earliest event (lagging working
+    replica steps once, or the next arrival is delivered)."""
+    front = ClusterFrontend(
+        lambda i: SimBatcher(cost, max_batch=max_batch, max_len=max_len),
+        n_hosts)
+    pending = sorted(trace, key=lambda a: a.t)
+    requests = [a.request for a in pending]
+
+    while pending or any(rep.has_work() for rep in front.replicas):
+        workers = [r for r in front.replicas if r.has_work()]
+        t_step = min((r.batcher.clock for r in workers), default=float("inf"))
+        if pending and pending[0].t <= t_step:
+            arr = pending.pop(0)
+            # an idle replica cannot have done anything before this arrival
+            for rep in front.replicas:
+                if not rep.has_work():
+                    rep.batcher.clock = max(rep.batcher.clock, arr.t)
+            front.submit(arr.request)
+            continue
+        rep = min(workers, key=lambda r: r.batcher.clock)
+        rep.step()
+
+    makespan = max(rep.batcher.clock for rep in front.replicas)
+    tokens = sum(len(r.generated) for r in requests)
+    assert all(r.done for r in requests)
+    return {
+        "n_hosts": n_hosts,
+        "tokens": tokens,
+        "makespan_s": makespan,
+        "tokens_per_s": tokens / makespan if makespan else 0.0,
+        "per_host_busy_s": [rep.batcher.clock for rep in front.replicas],
+    }
+
+
+def scaling_efficiency(trace: list[Arrival], cost: CostModel, n_hosts: int,
+                       **kw) -> dict:
+    """tokens/s at n_hosts vs n_hosts × the 1-host run on the SAME trace."""
+    one = simulate_cluster(1, _clone_trace(trace), cost, **kw)
+    many = simulate_cluster(n_hosts, _clone_trace(trace), cost, **kw)
+    eff = many["tokens_per_s"] / (n_hosts * one["tokens_per_s"])
+    return {"one_host": one, "n_host": many, "n_hosts": n_hosts,
+            "scaling_efficiency": eff}
+
+
+def _clone_trace(trace: list[Arrival]) -> list[Arrival]:
+    return [Arrival(a.t, Request(uid=a.request.uid,
+                                 prompt=np.array(a.request.prompt),
+                                 max_new_tokens=a.request.max_new_tokens))
+            for a in trace]

@@ -197,3 +197,41 @@ class TestPackedServing:
             b.submit(r)
         done = b.run_to_completion()
         assert len(done) == 2 and all(len(r.generated) == 3 for r in reqs)
+
+
+class TestChunkedDecode:
+    """step_chunk(K): K decode steps in one device dispatch must emit the
+    SAME tokens as K single steps (greedy), including EOS-mid-chunk and
+    slot turnover at chunk boundaries."""
+
+    def test_chunked_matches_oracle_mixed_lengths(self, tiny_llama):
+        cfg, params = tiny_llama
+        rng = np.random.default_rng(21)
+        batcher = ContinuousBatcher(jllama, params, cfg, max_batch=2,
+                                    max_len=128)
+        reqs = [
+            Request(uid=i, prompt=rng.integers(0, cfg.vocab_size, size=(n,)),
+                    max_new_tokens=7)
+            for i, n in enumerate([5, 9, 3])
+        ]
+        for r in reqs:
+            batcher.submit(r)
+        done = batcher.run_to_completion(chunk=4)
+        assert len(done) == 3
+        for r in reqs:
+            expected = greedy_oracle(jllama, params, cfg, list(r.prompt), 7)
+            assert r.generated == expected, (r.uid, r.generated, expected)
+
+    def test_chunked_eos_mid_chunk(self, tiny_llama):
+        cfg, params = tiny_llama
+        rng = np.random.default_rng(22)
+        prompt = rng.integers(0, cfg.vocab_size, size=(4,))
+        expected = greedy_oracle(jllama, params, cfg, list(prompt), 8)
+        eos = expected[2]
+        batcher = ContinuousBatcher(jllama, params, cfg, max_batch=1,
+                                    max_len=64)
+        req = Request(uid=0, prompt=prompt, max_new_tokens=8,
+                      eos_token_id=eos)
+        batcher.submit(req)
+        batcher.run_to_completion(chunk=4)
+        assert req.generated == expected[:3]
