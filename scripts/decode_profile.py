@@ -101,7 +101,12 @@ def build(cfg, qcfg, head_qcfg, rng):
         "norm": {"weight": jnp.ones((h,), jnp.bfloat16)},
         "lm_head": pack_linear(lm_head, head_qcfg),
     }
-    return llama.stack_layers(packed, cfg)
+    stacked = llama.stack_layers(packed, cfg)
+    if int(os.environ.get("SMQ_BLOCKED", "1")):
+        from smoothquant_tpu.kernels.pack import block_decode_tree
+
+        stacked = block_decode_tree(stacked)
+    return stacked
 
 
 def main():

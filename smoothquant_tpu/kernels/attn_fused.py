@@ -57,12 +57,18 @@ def _rot_half(x):
 
 def _make_inline_kernel(*, sm_scale: float, hc: int, rp: int, nkb: int,
                         nst: int, ts: int, b: int, bc: int, d: int,
-                        rotary: bool, int8_dots: bool):
+                        rotary: bool, int8_dots: bool,
+                        flat_q: bool = False):
     """Virtual-tile attention WITHOUT a write phase: the new position's
     rotary+quantize runs inline on each (batch, head)-block's LAST S-tile,
     only for that block's heads — one fewer grid step than the phased
     kernel and no cross-step scratch stash.  Numerics are bit-identical to
-    the phased variant (same per-head f32 rotate/absmax/round chain)."""
+    the phased variant (same per-head f32 rotate/absmax/round chain).
+
+    flat_q (MHA only): q arrives PRE-rotary as a flat (bc, hc*d) block and
+    the output is written flat (bc, hc*d) — q-rotary runs in-kernel (f32)
+    and the XLA chain around the call (apply_rotary fusion + rep-pad +
+    rep-slice + squeeze, ~8 us/layer of decode-scan glue) disappears."""
 
     def kernel(idx_ref, q_ref, kn_ref, vn_ref, cos_ref, sin_ref,
                kt_ref, vt_ref, kst_ref, vst_ref, o_ref,
@@ -74,6 +80,21 @@ def _make_inline_kernel(*, sm_scale: float, hc: int, rp: int, nkb: int,
         bias_row = jnp.where(
             st * ts + jax.lax.broadcasted_iota(jnp.int32, (1, ts), 1)
             < lpos, 0.0, NEG_INF)
+        if flat_q:
+            row0b = (jax.lax.broadcasted_iota(jnp.int32, (rp, d), 0)
+                     == 0).astype(jnp.float32)
+
+        def q_tile(b2, j):
+            if not flat_q:
+                return q_ref[b2, j]
+            qf = q_ref[b2:b2 + 1, j * d:(j + 1) * d].astype(jnp.float32)
+            if rotary:
+                cosb = cos_ref[b2, 0].astype(jnp.float32)[None, :]
+                sinb = sin_ref[b2, 0].astype(jnp.float32)[None, :]
+                qf = qf * cosb + _rot_half(qf) * sinb
+            # (1, d) -> (rp, d) row-0 by MULTIPLY (see Mosaic note below)
+            return (qf * row0b).astype(o_ref.dtype)
+
         for b2 in range(bc):
             for j in range(hc):
                 k_t, v_t = kt_ref[0, b2, j], vt_ref[0, b2, j]
@@ -81,12 +102,13 @@ def _make_inline_kernel(*, sm_scale: float, hc: int, rp: int, nkb: int,
                     k_t = k_t.astype(jnp.bfloat16)
                     v_t = v_t.astype(jnp.bfloat16)
                 _flash_head(
-                    q_ref[b2, j], k_t, v_t, bias_row,
+                    q_tile(b2, j), k_t, v_t, bias_row,
                     kst_ref[0, b2, j:j + 1], vst_ref[0, b2, j:j + 1],
                     sm_scale, m_ref, l_ref, acc_ref,
                     (b2 * hc + j) * rp,
                     st == 0, False, o_ref, j, o_b=b2,
                     int8_dots=int8_dots,
+                    flat_d=d if flat_q else None,
                 )
 
         @pl.when(st == nst - 1)
@@ -120,12 +142,13 @@ def _make_inline_kernel(*, sm_scale: float, hc: int, rp: int, nkb: int,
                     k_t = k8[j][None, :] * row0
                     v_t = v8[j][None, :] * row0
                     _flash_head(
-                        q_ref[b2, j], k_t, v_t, bias_v,
+                        q_tile(b2, j), k_t, v_t, bias_v,
                         jnp.broadcast_to(ksc[j:j + 1], (1, 8)),
                         jnp.broadcast_to(vsc[j:j + 1], (1, 8)),
                         sm_scale, m_ref, l_ref, acc_ref,
                         (b2 * hc + j) * rp,
                         False, True, o_ref, j, o_b=b2,
+                        flat_d=d if flat_q else None,
                     )
 
     return kernel
@@ -269,18 +292,30 @@ def fused_attn_supported(s: int, n_heads: int, n_kv: int,
 
 def _fused_attn_call(layer_idx, pos, q, k_new, v_new, cos, sin,
                      k_q, v_q, k_scale, v_scale, *, sm_scale, rotary,
-                     interpret, write_cache, int8_dots):
-    b, h, d = q.shape
+                     interpret, write_cache, int8_dots, flat_io=False):
     l_num, _, n_kv, s, _ = k_q.shape
-    rep = h // n_kv
+    if flat_io:
+        # q: (B, H*D) PRE-rotary, output flat (B, H*D) — MHA only
+        b, hd = q.shape
+        d = k_q.shape[-1]
+        h = hd // d
+        assert h == n_kv, "flat_io requires MHA (rep == 1)"
+        assert not write_cache
+        rep = 1
+    else:
+        b, h, d = q.shape
+        rep = h // n_kv
     ts = _pick_tile_s(s)
     assert ts is not None, f"cache length {s} not tileable"
     if sm_scale is None:
         sm_scale = 1.0 / (d ** 0.5)
     rp = _ceil_to(rep, 8)
-    q4 = q.reshape(b, n_kv, rep, d)
-    if rp != rep:
-        q4 = jnp.pad(q4, ((0, 0), (0, 0), (0, rp - rep), (0, 0)))
+    if flat_io:
+        q4 = q
+    else:
+        q4 = q.reshape(b, n_kv, rep, d)
+        if rp != rep:
+            q4 = jnp.pad(q4, ((0, 0), (0, 0), (0, rp - rep), (0, 0)))
     hc = _pick_h_chunk(n_kv, ts, d, 1)
     bc = _pick_b_chunk(b, n_kv, hc, ts, d, 1)
     nkb = n_kv // hc
@@ -297,18 +332,23 @@ def _fused_attn_call(layer_idx, pos, q, k_new, v_new, cos, sin,
         def cmap0(t, s_):
             return (t // (nkb * nst), (t % (nkb * nst)) // nst, t % nst)
 
+        q_spec0 = (pl.BlockSpec((bc, hc * d),
+                               lambda t, s_: cmap0(t, s_)[:2],
+                               memory_space=pltpu.VMEM)
+                   if flat_io else
+                   pl.BlockSpec((bc, hc, rp, d),
+                                lambda t, s_: cmap0(t, s_)[:2] + (0, 0),
+                                memory_space=pltpu.VMEM))
         out = pl.pallas_call(
             _make_inline_kernel(sm_scale=sm_scale, hc=hc, rp=rp, nkb=nkb,
                                 nst=nst, ts=ts, b=b, bc=bc, d=d,
-                                rotary=rotary, int8_dots=int8_dots),
+                                rotary=rotary, int8_dots=int8_dots,
+                                flat_q=flat_io),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=((b // bc) * nkb * nst,),
                 in_specs=[
-                    pl.BlockSpec(
-                        (bc, hc, rp, d),
-                        lambda t, s_: cmap0(t, s_)[:2] + (0, 0),
-                        memory_space=pltpu.VMEM),
+                    q_spec0,
                     pl.BlockSpec((bc, hc, d),
                                  lambda t, s_: cmap0(t, s_)[:2] + (0,),
                                  memory_space=pltpu.VMEM),
@@ -341,6 +381,9 @@ def _fused_attn_call(layer_idx, pos, q, k_new, v_new, cos, sin,
                         memory_space=pltpu.VMEM),
                 ],
                 out_specs=[pl.BlockSpec(
+                    (bc, hc * d), lambda t, s_: cmap0(t, s_)[:2],
+                    memory_space=pltpu.VMEM) if flat_io else
+                    pl.BlockSpec(
                     (bc, hc, rp, d),
                     lambda t, s_: cmap0(t, s_)[:2] + (0, 0),
                     memory_space=pltpu.VMEM)],
@@ -350,7 +393,8 @@ def _fused_attn_call(layer_idx, pos, q, k_new, v_new, cos, sin,
                     pltpu.VMEM((bc * hc * rp, d), jnp.float32),
                 ],
             ),
-            out_shape=[jax.ShapeDtypeStruct((b, n_kv, rp, d), q.dtype)],
+            out_shape=[jax.ShapeDtypeStruct(
+                (b, h * d) if flat_io else (b, n_kv, rp, d), q.dtype)],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",),
             ),
@@ -361,6 +405,8 @@ def _fused_attn_call(layer_idx, pos, q, k_new, v_new, cos, sin,
             ),
             interpret=interpret,
         )(idx, q4, k_new, v_new, cos, sin, k_q, v_q, k_scale, v_scale)
+        if flat_io:
+            return out[0]
         return out[0][:, :, :rep].reshape(b, h, d)
 
     if write_cache:
@@ -549,3 +595,36 @@ def fused_virtual_attn_stacked(
                             k_q, v_q, k_scale, v_scale, sm_scale=sm_scale,
                             rotary=rotary, interpret=interpret,
                             write_cache=False, int8_dots=int8_dots)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("sm_scale", "rotary", "interpret",
+                                    "int8_dots"))
+def fused_virtual_attn_flat(
+    layer_idx: jax.Array,   # scalar int32
+    pos: jax.Array,         # scalar int32 — aligned decode position
+    q2d: jax.Array,         # (B, H*D) — PRE-rotary queries, flat
+    k_new: jax.Array,       # (B, H_kv, D) — PRE-rotary keys
+    v_new: jax.Array,       # (B, H_kv, D)
+    cos: Optional[jax.Array],    # (B, 1, D) rotary tables (None: non-rotary)
+    sin: Optional[jax.Array],
+    k_q: jax.Array,         # (L, B, H_kv, S, D) int8 — the OLD cache
+    v_q: jax.Array,
+    k_scale: jax.Array,     # (L, B, H_kv, S) f32
+    v_scale: jax.Array,
+    *,
+    sm_scale: Optional[float] = None,
+    rotary: bool = True,
+    interpret: bool = False,
+    int8_dots: bool = False,
+) -> jax.Array:
+    """fused_virtual_attn_stacked with FLAT pre-rotary q and flat output —
+    q-rotary runs in-kernel and the (B, H*D) in/out layouts erase the XLA
+    apply_rotary + rep-pad + rep-slice + reshape chain around the call
+    (~8 us/layer of decode-scan glue).  MHA (rep == 1) only; returns
+    (B, H*D)."""
+    return _fused_attn_call(layer_idx, pos, q2d, k_new, v_new, cos, sin,
+                            k_q, v_q, k_scale, v_scale, sm_scale=sm_scale,
+                            rotary=rotary, interpret=interpret,
+                            write_cache=False, int8_dots=int8_dots,
+                            flat_io=True)

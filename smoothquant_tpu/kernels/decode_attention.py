@@ -43,7 +43,7 @@ def _ceil_to(x: int, m: int) -> int:
 
 def _flash_head(q, k_tile, v_tile, bias_row, ks_row, vs_row, sm_scale,
                 m_ref, l_ref, acc_ref, r0, is_first, is_last, o_ref, j,
-                alibi_row=None, o_b=0, int8_dots=False):
+                alibi_row=None, o_b=0, int8_dots=False, flat_d=None):
     """One (head, S-tile) of streaming softmax.  q: (R, D); k/v tile:
     (TS, D); bias_row/ks_row/vs_row: (1, TS).  Scratch rows [r0, r0+R);
     output written to o_ref[0, j] on the last S-tile.  alibi_row: optional
@@ -122,7 +122,12 @@ def _flash_head(q, k_tile, v_tile, bias_row, ks_row, vs_row, sm_scale,
     @pl.when(is_last)
     def _():
         denom = jnp.where(l_new > 0.0, l_new, 1.0)
-        o_ref[o_b, j] = (acc_new / denom).astype(o_ref.dtype)
+        if flat_d is None:
+            o_ref[o_b, j] = (acc_new / denom).astype(o_ref.dtype)
+        else:
+            # flat (bc, hc*d) output: only the real query row (MHA rep=1)
+            o_ref[o_b:o_b + 1, j * flat_d:(j + 1) * flat_d] = (
+                acc_new[:1] / denom[:1]).astype(o_ref.dtype)
 
 
 def _alibi_row(sl_ref, j: int, ts: int):

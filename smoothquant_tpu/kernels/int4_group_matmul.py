@@ -183,10 +183,71 @@ def _kernel_stacked_nosal(idx_ref, x_lo_ref, x_hi_ref, xs_lo_ref, xs_hi_ref,
 _SCALE_FLOOR = 1e-5  # matches quant.core.compute_scale / kernels.act_prep
 
 
+def _pick_rawx_tiles(o: int, g_half: int, group_size: int,
+                     tile_o: Optional[int] = None,
+                     tile_g: Optional[int] = None) -> tuple[int, int]:
+    """Shared O/G tile choice for the rawx kernel and the blocked-layout
+    packer (kernel tiling and storage blocking must agree exactly)."""
+    if tile_o is None:
+        # large O-tiles everywhere: with the act quantize fused in-kernel
+        # there is no act_prep kernel competing for VMEM/prefetch, and the
+        # narrow-output shapes (o_proj 4096->4096 measured 428 GB/s with
+        # 1 MB blocks) are DMA-issue-bound — fewer, larger weight DMAs win
+        for cand in (2048, 1024, 512, 256, 128):
+            if o % cand == 0:
+                tile_o = cand
+                break
+    while o % tile_o:
+        tile_o //= 2
+    if tile_g is None:
+        tile_g = 16 if g_half % 16 == 0 else 8
+    while g_half % tile_g:
+        tile_g //= 2
+    while tile_g > 8 and tile_g * group_size * tile_o > 2 * 1024 * 1024:
+        tile_g //= 2
+    if tile_o < 128 or tile_g < 8:
+        raise ValueError(
+            f"stacked kernel needs tile-aligned shapes: O={o} g_half={g_half}"
+            f" (pack with align_o/align_k_groups)")
+    return tile_o, tile_g
+
+
+def block_rawx_weights(w_qt: jax.Array, w_scales_t: jax.Array,
+                       w_sal_t: jax.Array, group_size: int):
+    """Re-store stacked rawx weights BLOCK-CONTIGUOUS.
+
+    The (L, K/2, O) layout makes every kernel weight block a strided DMA:
+    tile_g*gs rows of tile_o bytes at an O-byte stride (~23 MB of address
+    span per 2 MB block at the bench's gate_up shape).  Measured on v5e
+    (scripts/dma_layout_probe.py, L=32): 666 GB/s strided vs 747 GB/s
+    block-contiguous for the identical bytes — and the strided penalty
+    GROWS with stack depth (the round-3 bench lost ~17 us/layer on gate_up
+    between 8- and 32-layer stacks).  Returns
+      wp  (L, nK, nJ, tile_g, gs, tile_o)
+      ws  (L, G/tile_g, nJ, tile_g, tile_o)
+      sal (L, nJ, k_s, tile_o)
+    with tiles chosen by _pick_rawx_tiles (identical to the kernel's)."""
+    l_num, half, o = w_qt.shape
+    g_half = half // group_size
+    g_total = 2 * g_half
+    assert w_scales_t.shape == (l_num, g_total, o)
+    tile_o, tile_g = _pick_rawx_tiles(o, g_half, group_size)
+    nk, nj = g_half // tile_g, o // tile_o
+    wp = (w_qt.reshape(l_num, nk, tile_g, group_size, nj, tile_o)
+          .transpose(0, 1, 4, 2, 3, 5))
+    ws = (w_scales_t.reshape(l_num, g_total // tile_g, tile_g, nj, tile_o)
+          .transpose(0, 1, 3, 2, 4))
+    k_s = w_sal_t.shape[1]
+    sal = (w_sal_t.reshape(l_num, k_s, nj, tile_o).transpose(0, 2, 1, 3)
+           if k_s else w_sal_t.reshape(l_num, nj, k_s, tile_o))
+    return wp, ws, sal
+
+
 def _make_rawx_kernel(gpt: int, gs: int, qmax: float, k_ns_raw: int,
                       n_sal: int, k_s: int, half_ch: int, c: int, eps: float,
                       norm_kind, need_mask: bool, num_k: int,
-                      sal_external: bool, interpret: bool):
+                      sal_mode: str, interpret: bool,
+                      blocked: bool = False):
     """Kernel factory for the fused act-quant int4 matmul (see
     int4_group_matmul_stacked_rawx).  Returns a kernel whose positional ref
     signature matches the operand list the wrapper builds (norm refs only
@@ -196,10 +257,24 @@ def _make_rawx_kernel(gpt: int, gs: int, qmax: float, k_ns_raw: int,
     weight); "mask" multiplies activations by the nw rows WITHOUT the
     rsqrt — used by the identity weight layout, whose 0/1 mask zeroes the
     scattered salient (and pad) channels out of the int path; None = raw.
-    sal_external: the salient activation slice arrives as its own
-    pre-gathered (N, k_s) operand instead of being the permuted tail of
-    x_full (identity layout: salient channels are scattered)."""
+    sal_mode: "tail" = salient channels are the permuted tail of x_full;
+    "external" = a pre-gathered (N, k_s) x_sal operand (identity layout);
+    "select" = a (1, p_ch, k_s) one-hot selection block rides the weight
+    stream and the salient slice is computed IN-KERNEL as one MXU dot
+    (x_full @ S — exact, one term per output), replacing the XLA gather
+    chain that cost ~7 us/layer in the decode scan.
+    blocked: weight operands arrive in the block-contiguous layout of
+    block_rawx_weights (extra leading singleton block dims)."""
     fuse_norm = norm_kind == "rms"
+
+    def _wp(ref):
+        return ref[0, 0, 0] if blocked else ref[0]
+
+    def _wsal(ref):
+        return ref[0, 0] if blocked else ref[0]
+
+    def _wsrow(ref, gg):
+        return ref[0, 0, 0, gg] if blocked else ref[0, gg]
 
     def kernel(*refs):
         pos = 1  # refs[0] = scalar-prefetch layer idx (consumed by index maps)
@@ -215,12 +290,16 @@ def _make_rawx_kernel(gpt: int, gs: int, qmax: float, k_ns_raw: int,
         ws_hi_ref = refs[pos]; pos += 1
         if k_s:
             w_sal_t_ref = refs[pos]; pos += 1
-        if k_s and sal_external:
+        if k_s and sal_mode == "external":
             x_sal_ref = refs[pos]; pos += 1
+        if k_s and sal_mode == "select":
+            sel_ref = refs[pos]; pos += 1
         out_ref = refs[pos]; pos += 1
         acc_ref = refs[pos]; pos += 1
         xq_ref = refs[pos]; pos += 1   # (2*gpt*num_k, tile_n, gs) int8
         sc_ref = refs[pos]; pos += 1   # (2*gpt*num_k, tile_n, 128) f32
+        if k_s and sal_mode == "select":
+            xsal_ref = refs[pos]; pos += 1   # (tile_n, k_s) f32 scratch
         r_ref = refs[pos] if fuse_norm else None
 
         j = pl.program_id(1)
@@ -238,9 +317,27 @@ def _make_rawx_kernel(gpt: int, gs: int, qmax: float, k_ns_raw: int,
                             jnp.sum(xf * xf, axis=1, keepdims=True) / c
                             + eps),
                         r_ref.shape)
-            if k_s and n_sal and sal_external:
+            if k_s and n_sal and sal_mode == "select":
+
+                @pl.when(j == 0)
+                def _sel():
+                    # exact gather as one MXU dot (one-hot columns)
+                    xsal_ref[:] = jax.lax.dot_general(
+                        x_full_ref[:], sel_ref[0].astype(x_full_ref.dtype),
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+
                 acc_ref[:] = jax.lax.dot_general(
-                    x_sal_ref[:].astype(w_sal_t_ref.dtype), w_sal_t_ref[0],
+                    xsal_ref[:].astype(w_sal_t_ref.dtype),
+                    _wsal(w_sal_t_ref),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            elif k_s and n_sal and sal_mode == "external":
+                acc_ref[:] = jax.lax.dot_general(
+                    x_sal_ref[:].astype(w_sal_t_ref.dtype),
+                    _wsal(w_sal_t_ref),
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
@@ -256,7 +353,7 @@ def _make_rawx_kernel(gpt: int, gs: int, qmax: float, k_ns_raw: int,
                         [sal, jnp.zeros((sal.shape[0], k_s - n_sal),
                                         jnp.float32)], axis=1)
                 acc_ref[:] = jax.lax.dot_general(
-                    sal.astype(w_sal_t_ref.dtype), w_sal_t_ref[0],
+                    sal.astype(w_sal_t_ref.dtype), _wsal(w_sal_t_ref),
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
@@ -294,7 +391,7 @@ def _make_rawx_kernel(gpt: int, gs: int, qmax: float, k_ns_raw: int,
                     xq_ref[slot] = jnp.round(y / scale).astype(jnp.int8)
                     sc_ref[slot] = jnp.broadcast_to(scale, sc_ref.shape[1:])
 
-        w_lo, w_hi = _unpack_nibbles_biased(wp_ref[0], interpret)
+        w_lo, w_hi = _unpack_nibbles_biased(_wp(wp_ref), interpret)
         acc = acc_ref[:]
         for hi, (w_half, ws_ref_) in enumerate(((w_lo, ws_lo_ref),
                                                 (w_hi, ws_hi_ref))):
@@ -309,7 +406,7 @@ def _make_rawx_kernel(gpt: int, gs: int, qmax: float, k_ns_raw: int,
                     preferred_element_type=jnp.int32,
                 )
                 acc += ((p - 8 * s_x).astype(jnp.float32) * scale
-                        * ws_ref_[0, gg][None, :].astype(jnp.float32))
+                        * _wsrow(ws_ref_, gg)[None, :].astype(jnp.float32))
         acc_ref[:] = acc
 
         @pl.when(k == num_k - 1)
@@ -340,6 +437,9 @@ def int4_group_matmul_stacked_rawx(
     w_sal_t: jax.Array,     # (L, k_s, O) fp
     x_sal: Optional[jax.Array] = None,  # (N, k_s) pre-gathered salient
     #                         activations (identity layout only)
+    sal_select: Optional[jax.Array] = None,  # (L, C, k_s) one-hot
+    #                         selection — in-kernel salient gather-as-dot
+    #                         (identity layout; excludes x_sal)
     *,
     group_size: int,
     act_bits: int,
@@ -369,37 +469,30 @@ def int4_group_matmul_stacked_rawx(
     rsqrt(mean x² + eps), "rms" only).
     """
     n, c = x_raw.shape
-    l_num, half, o = w_packed.shape
-    kk = 2 * half
-    g_total = kk // group_size
-    g_half = g_total // 2
-    assert w_scales_t.shape == (l_num, g_total, o)
-    k_s = w_sal_t.shape[1]
+    blocked = w_packed.ndim == 6
+    if blocked:
+        # block_rawx_weights layout: tiles are baked into the array shape
+        l_num, nkb, njb, tile_g, _gs, tile_o = w_packed.shape
+        assert _gs == group_size
+        half = nkb * tile_g * group_size
+        o = njb * tile_o
+        kk = 2 * half
+        g_total = kk // group_size
+        g_half = g_total // 2
+        assert w_scales_t.shape == (l_num, g_total // tile_g, njb, tile_g,
+                                    tile_o)
+        k_s = w_sal_t.shape[2]
+    else:
+        l_num, half, o = w_packed.shape
+        kk = 2 * half
+        g_total = kk // group_size
+        g_half = g_total // 2
+        assert w_scales_t.shape == (l_num, g_total, o)
+        k_s = w_sal_t.shape[1]
+        tile_o, tile_g = _pick_rawx_tiles(o, g_half, group_size, tile_o,
+                                          tile_g)
     k_ns_raw = c - num_salient
     assert kk >= k_ns_raw and k_s >= num_salient
-
-    if tile_o is None:
-        # large O-tiles everywhere: with the act quantize fused in-kernel
-        # there is no act_prep kernel competing for VMEM/prefetch, and the
-        # narrow-output shapes (o_proj 4096->4096 measured 428 GB/s with
-        # 1 MB blocks) are DMA-issue-bound — fewer, larger weight DMAs win
-        cands = (2048, 1024, 512, 256, 128)
-        for cand in cands:
-            if o % cand == 0:
-                tile_o = cand
-                break
-    while o % tile_o:
-        tile_o //= 2
-    if tile_g is None:
-        tile_g = 16 if g_half % 16 == 0 else 8
-    while g_half % tile_g:
-        tile_g //= 2
-    while tile_g > 8 and tile_g * group_size * tile_o > 2 * 1024 * 1024:
-        tile_g //= 2
-    if tile_o < 128 or tile_g < 8:
-        raise ValueError(
-            f"stacked kernel needs tile-aligned shapes: O={o} g_half={g_half}"
-            f" (pack with align_o/align_k_groups)")
 
     bs = tile_g * group_size          # channels per x block
     assert half % bs == 0, "g_half % tile_g == 0 guarantees this"
@@ -410,16 +503,30 @@ def int4_group_matmul_stacked_rawx(
         x_raw = jnp.pad(x_raw, ((0, n_pad - n), (0, p_ch - c)))
 
     nk = norm_kind if norm_w is not None else None
+    stacked_norm = nk is not None and norm_w.ndim == 2
     if nk is not None:
-        nw = jnp.pad(norm_w.reshape(1, -1).astype(x_raw.dtype),
-                     ((0, 0), (0, p_ch - c)))
-    sal_external = x_sal is not None
-    if sal_external and k_s:
+        # (L, C) stacked norm rows: the layer's row is selected by the
+        # scalar-prefetch index map INSIDE the kernel streams — the XLA
+        # dynamic-slice per layer (3 ops/layer of decode-scan glue) vanishes
+        nw = norm_w if stacked_norm else norm_w.reshape(1, -1)
+        nw = jnp.pad(nw.astype(x_raw.dtype), ((0, 0), (0, p_ch - c)))
+    assert x_sal is None or sal_select is None
+    sal_mode = ("select" if sal_select is not None
+                else "external" if x_sal is not None else "tail")
+    sal_external = sal_mode != "tail"
+    if sal_mode == "external" and k_s:
         assert x_sal.shape[1] == k_s
         if x_sal.shape[0] != n_pad:
             x_sal = jnp.pad(x_sal, ((0, n_pad - x_sal.shape[0]), (0, 0)))
+    if sal_mode == "select" and k_s:
+        assert sal_select.shape[0] == l_num and sal_select.shape[2] == k_s
+        if sal_select.shape[1] != p_ch:
+            sal_select = jnp.pad(
+                sal_select, ((0, 0), (0, p_ch - sal_select.shape[1]), (0, 0)))
+        assert n_pad == tile_n, "select mode is decode-only (single N tile)"
 
-    wp4 = w_packed.reshape(l_num, g_half, group_size, o)
+    wp4 = (w_packed if blocked
+           else w_packed.reshape(l_num, g_half, group_size, o))
     grid = (n_pad // tile_n, o // tile_o, g_half // tile_g)
     gh = g_half // tile_g
     # identity layout (sal_external): scattered salient/pad channels are
@@ -436,42 +543,78 @@ def int4_group_matmul_stacked_rawx(
     ]
     operands = [x_raw, x_raw, x_raw]
     if nk is not None:
+        if stacked_norm:
+            in_specs += [
+                pl.BlockSpec((1, p_ch), lambda i, j, k, s: (s[0], 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bs), lambda i, j, k, s: (s[0], k),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bs),
+                             lambda i, j, k, s, gh=gh: (s[0], k + gh),
+                             memory_space=pltpu.VMEM),
+            ]
+        else:
+            in_specs += [
+                pl.BlockSpec((1, p_ch), lambda i, j, k, s: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bs), lambda i, j, k, s: (0, k),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bs), lambda i, j, k, s, gh=gh: (0, k + gh),
+                             memory_space=pltpu.VMEM),
+            ]
+        operands += [nw, nw, nw]
+    if blocked:
         in_specs += [
-            pl.BlockSpec((1, p_ch), lambda i, j, k, s: (0, 0),
+            pl.BlockSpec((1, 1, 1, tile_g, group_size, tile_o),
+                         lambda i, j, k, s: (s[0], k, j, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bs), lambda i, j, k, s: (0, k),
+            pl.BlockSpec((1, 1, 1, tile_g, tile_o),
+                         lambda i, j, k, s: (s[0], k, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bs), lambda i, j, k, s, gh=gh: (0, k + gh),
+            pl.BlockSpec((1, 1, 1, tile_g, tile_o),
+                         lambda i, j, k, s, gh=gh: (s[0], k + gh, j, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
-        operands += [nw, nw, nw]
-    in_specs += [
-        pl.BlockSpec((1, tile_g, group_size, tile_o),
-                     lambda i, j, k, s: (s[0], k, 0, j),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, tile_g, tile_o), lambda i, j, k, s: (s[0], k, j),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, tile_g, tile_o),
-                     lambda i, j, k, s, gh=gh: (s[0], k + gh, j),
-                     memory_space=pltpu.VMEM),
-    ]
+    else:
+        in_specs += [
+            pl.BlockSpec((1, tile_g, group_size, tile_o),
+                         lambda i, j, k, s: (s[0], k, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_g, tile_o),
+                         lambda i, j, k, s: (s[0], k, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_g, tile_o),
+                         lambda i, j, k, s, gh=gh: (s[0], k + gh, j),
+                         memory_space=pltpu.VMEM),
+        ]
     operands += [wp4, w_scales_t, w_scales_t]
     if k_s:
         in_specs.append(
+            pl.BlockSpec((1, 1, k_s, tile_o),
+                         lambda i, j, k, s: (s[0], j, 0, 0),
+                         memory_space=pltpu.VMEM)
+            if blocked else
             pl.BlockSpec((1, k_s, tile_o), lambda i, j, k, s: (s[0], 0, j),
                          memory_space=pltpu.VMEM))
         operands.append(w_sal_t)
-    if k_s and sal_external:
+    if k_s and sal_mode == "external":
         in_specs.append(
             pl.BlockSpec((tile_n, k_s), lambda i, j, k, s: (i, 0),
                          memory_space=pltpu.VMEM))
         operands.append(x_sal)
+    if k_s and sal_mode == "select":
+        in_specs.append(
+            pl.BlockSpec((1, p_ch, k_s), lambda i, j, k, s: (s[0], 0, 0),
+                         memory_space=pltpu.VMEM))
+        operands.append(sal_select)
 
     scratch = [
         pltpu.VMEM((tile_n, tile_o), jnp.float32),           # acc
         pltpu.VMEM((g_total, tile_n, group_size), jnp.int8),  # xq cache
         pltpu.VMEM((g_total, tile_n, 128), jnp.float32),      # scale cache
     ]
+    if k_s and sal_mode == "select":
+        scratch.append(pltpu.VMEM((tile_n, k_s), jnp.float32))
     if nk == "rms":
         scratch.append(pltpu.VMEM((tile_n, 128), jnp.float32))
 
@@ -479,7 +622,7 @@ def int4_group_matmul_stacked_rawx(
         gpt=tile_g, gs=group_size, qmax=float(2 ** (act_bits - 1) - 1),
         k_ns_raw=k_ns_raw, n_sal=num_salient, k_s=k_s, half_ch=half, c=c,
         eps=eps, norm_kind=nk, need_mask=need_mask, num_k=gh,
-        sal_external=sal_external, interpret=interpret)
+        sal_mode=sal_mode, interpret=interpret, blocked=blocked)
 
     out = pl.pallas_call(
         kernel,
@@ -541,6 +684,9 @@ def int4_group_matmul_stacked(
     f32, as produced by kernels.act_prep.quantize_acts_grouped_t — skipping
     the XLA-side pad/reshape/transpose chain.
     """
+    assert w_packed.ndim == 3, (
+        "block_decode_tree (blocked) weights support only the rawx decode "
+        "path; run prefill through the promoted-int8 tree")
     if pre_laid is not None:
         n = pre_laid
         g_total, n_pad, _gs = x_q.shape

@@ -55,6 +55,11 @@ class PackedLinear:
     # identity nibble layout only: (C,) 0/1 mask zeroing the scattered
     # salient channels out of the int path's activation quantize
     ns_mask: Optional[jax.Array] = None
+    # identity nibble layout, stacked decode trees only: (L, C, k_s) 0/1
+    # selection matrix — the rawx kernel computes the salient activation
+    # slice as ONE MXU dot (x @ S, exact: one term per output) instead of
+    # the ~7 us/layer XLA gather chain (block_decode_tree builds it)
+    sal_select: Optional[jax.Array] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -700,3 +705,52 @@ def quantize_activations_packed_int(
     if meta.num_salient:
         x_sal = x_sal.at[:, : meta.num_salient].set(x_perm[:, k_ns_raw:])
     return x_q, x_scales.astype(jnp.float32), x_sal
+
+
+def block_decode_tree(tree):
+    """Re-store every stacked nibble PackedLinear in the BLOCK-CONTIGUOUS
+    weight layout (kernels.int4_group_matmul.block_rawx_weights).
+
+    Apply AFTER stack_layers on a decode tree: each rawx weight DMA becomes
+    one contiguous 2 MB read instead of ~1024 strided rows (measured +12%
+    effective HBM bandwidth at 32-layer depth, scripts/dma_layout_probe.py).
+    Blocked trees serve the ≤32-token rawx decode path only — prefill goes
+    through the promoted-int8 twin (promote_model_int8), which is the
+    serving configuration anyway.  Leaves whose recipe or alignment the
+    rawx kernel wouldn't take are left untouched.
+    """
+    import dataclasses as _dc
+
+    from smoothquant_tpu.kernels.int4_group_matmul import block_rawx_weights
+
+    def walk(node):
+        if isinstance(node, PackedLinear):
+            m = node.meta
+            grouped = (m.act_quant not in ("per_token", "per_tensor")
+                       and m.act_group_size == m.group_size)
+            if not (m.nibble and grouped and node.w_qt.ndim == 3):
+                return node
+            try:
+                wp, ws, sal = block_rawx_weights(
+                    node.w_qt, node.w_scales_t, node.w_sal_t, m.group_size)
+            except ValueError:
+                return node
+            node = _dc.replace(node, w_qt=wp, w_scales_t=ws, w_sal_t=sal)
+            if (getattr(m, "layout", None) == "identity" and m.num_salient
+                    and node.sal_select is None):
+                # (L, C, k_s) one-hot selection: x2d @ S == the salient
+                # gather, bit-exactly (one term per output column)
+                perm = np.asarray(node.perm)          # (L, C)
+                l_num, c = perm.shape
+                sel = np.zeros((l_num, c, m.k_s),
+                               np.asarray(node.w_sal_t).dtype)
+                for li in range(l_num):
+                    sal_idx = perm[li, m.in_features - m.num_salient:]
+                    sel[li, sal_idx, np.arange(m.num_salient)] = 1
+                node = _dc.replace(node, sal_select=jnp.asarray(sel))
+            return node
+        if isinstance(node, dict):
+            return {k: walk(v) for k, v in node.items()}
+        return node
+
+    return walk(tree)

@@ -156,6 +156,8 @@ def can_fuse_mlp(gu, dn, n_tokens: int) -> bool:
         return False
     if gu.bias is not None:
         return False
+    if gu.w_qt.ndim != 3 or dn.w_qt.ndim != 3:
+        return False  # block_decode_tree layout: rawx-only
     return mlp_fused_supported(gu.meta, dn.meta, n_tokens)
 
 
@@ -274,10 +276,14 @@ def real_quant_linear(
         if norm is not None:
             n_w, n_eps, n_kind = norm
             if grouped and n_kind == "rms":
+                # n_w may be the FULL (L, C) stacked norm — the rawx kernel
+                # selects the layer row via scalar prefetch (no XLA slice)
                 norm_row, eps = n_w, float(n_eps)  # fused in-kernel
             else:  # unfusible recipe: apply the norm first
                 from smoothquant_tpu.models.common import rms_norm
 
+                if n_w.ndim == 2:
+                    n_w = n_w[layer_idx]
                 x_perm = rms_norm({"weight": n_w}, x_perm, n_eps)
         if (meta.layout == "identity" and grouped
                 and x2d.shape[0] <= 32):
@@ -289,17 +295,22 @@ def real_quant_linear(
             )
 
             assert norm is None, "identity layout call sites fuse no norm"
-            perm_row = packed.perm[layer_idx]
-            x_sal = jnp.zeros((x2d.shape[0], meta.k_s), x.dtype)
-            if meta.num_salient:
-                sal_idx = perm_row[meta.in_features - meta.num_salient:]
-                x_sal = x_sal.at[:, : meta.num_salient].set(
-                    jnp.take(x2d, sal_idx, axis=-1))
+            if getattr(packed, "sal_select", None) is not None:
+                # in-kernel salient gather-as-dot (block_decode_tree)
+                x_sal, sel = None, packed.sal_select
+            else:
+                sel = None
+                perm_row = packed.perm[layer_idx]
+                x_sal = jnp.zeros((x2d.shape[0], meta.k_s), x.dtype)
+                if meta.num_salient:
+                    sal_idx = perm_row[meta.in_features - meta.num_salient:]
+                    x_sal = x_sal.at[:, : meta.num_salient].set(
+                        jnp.take(x2d, sal_idx, axis=-1))
             y = int4_group_matmul_stacked_rawx(
                 jnp.asarray(layer_idx, jnp.int32).reshape(1),
                 x2d, packed.ns_mask[layer_idx],
                 packed.w_qt, packed.w_scales_t,
-                packed.w_sal_t.astype(x.dtype), x_sal,
+                packed.w_sal_t.astype(x.dtype), x_sal, sel,
                 group_size=meta.group_size, act_bits=meta.act_bits,
                 num_salient=meta.num_salient, norm_kind="mask",
                 out_dtype=out_dtype or x.dtype, interpret=interpret,
@@ -345,7 +356,9 @@ def real_quant_linear(
             if norm_row is not None:
                 from smoothquant_tpu.models.common import rms_norm
 
-                x_perm = rms_norm({"weight": norm_row}, x_perm, eps)
+                x_perm = rms_norm(
+                    {"weight": (norm_row[layer_idx] if norm_row.ndim == 2
+                                else norm_row)}, x_perm, eps)
             k_ns_raw = meta.in_features - meta.num_salient
             x_ns = x_perm[:, :k_ns_raw]
             if meta.k_ns != k_ns_raw:

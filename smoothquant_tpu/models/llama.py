@@ -316,6 +316,7 @@ def _prefetch_scan_decode(params, x, cfg, ctx, caches, cos, sin, attn_mask):
     # (continuous-batching) decodes
     from smoothquant_tpu.kernels.attn_fused import (
         fused_rope_write_attn_stacked,
+        fused_virtual_attn_flat,
         fused_virtual_attn_stacked,
     )
     from smoothquant_tpu.models.common import QuantKVCache as _QKV
@@ -336,9 +337,12 @@ def _prefetch_scan_decode(params, x, cfg, ctx, caches, cos, sin, attn_mask):
         if "qkv_proj" in sa:  # fused: one kernel launch + one permute chain
             if fuse_norm_qkv:
                 # norm folds into the act-prep kernel (shared basis)
+                # FULL stacked norm rows: the rawx kernel selects layer
+                # i's row via scalar prefetch (kills 3 dynamic-slice XLA
+                # ops per layer of decode-scan glue)
                 qkv = call_linear(
                     sa["qkv_proj"], x, f"{nm}.qkv", ctx, layer_idx=i,
-                    norm=(stacked["input_layernorm"]["weight"][i],
+                    norm=(stacked["input_layernorm"]["weight"],
                           cfg.rms_norm_eps, "rms"))
             else:
                 hidden = rms_norm(norm_at(stacked["input_layernorm"], i), x,
@@ -359,11 +363,23 @@ def _prefetch_scan_decode(params, x, cfg, ctx, caches, cos, sin, attn_mask):
                             layer_idx=i)
             v = call_linear(sa["v_proj"], hidden, f"{nm}.v", ctx, True,
                             layer_idx=i)
-        q = apply_rotary(q.reshape(b, s, nh, d), cos, sin)
+        flat_attn = attn_mode == "auto" and nh == n_kv
+        if not flat_attn:
+            q = apply_rotary(q.reshape(b, s, nh, d), cos, sin)
         k = k.reshape(b, s, n_kv, d)      # k-rotary fuses into the writer
         v = v.reshape(b, s, n_kv, d)
 
-        if attn_mode == "auto":
+        if flat_attn:
+            # MHA: flat pre-rotary q in, flat attention out — q-rotary and
+            # the rep pad/slice run IN the virtual-tile kernel (the XLA
+            # apply_rotary + pad + rep-slice chain was ~8 us/layer)
+            a = fused_virtual_attn_flat(
+                i, cache.pos[i], q[:, 0], k[:, 0], v[:, 0], cos, sin,
+                cache.k_q, cache.v_q, cache.k_scale, cache.v_scale,
+                interpret=bool(ctx is not None and ctx.interpret))
+            cache, _ = stacked_cache_append_fused(cache, i, k, v, cos,
+                                                  sin, ctx)
+        elif attn_mode == "auto":
             # virtual-tile attention over the OLD cache (rotary + quantize
             # + bias in-kernel), then the aliased in-place writer — which
             # attention never waits on (it only READS the old rows)
@@ -405,7 +421,7 @@ def _prefetch_scan_decode(params, x, cfg, ctx, caches, cos, sin, attn_mask):
         if fuse_norm_gu:
             gu = call_linear(
                 mlp["gate_up_proj"], x, f"{nm}.gu", ctx, layer_idx=i,
-                norm=(stacked["post_attention_layernorm"]["weight"][i],
+                norm=(stacked["post_attention_layernorm"]["weight"],
                       cfg.rms_norm_eps, "rms"))
             inter = gu.shape[-1] // 2
             gate, up = gu[..., :inter], gu[..., inter:]
