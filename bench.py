@@ -184,7 +184,9 @@ def main() -> None:
         return jnp.dot(x, wt, preferred_element_type=jnp.float32
                        ).astype(x.dtype)
 
-    t_pf_bf = time_steps(bf16_prefill, (x_pf, w_pf.T), iters=16, repeats=5)
+    # sub-ms micro-kernels over the tunnel need deep chains or the
+    # two-point differencing drowns in round-trip jitter (observed 0.000)
+    t_pf_bf = time_steps(bf16_prefill, (x_pf, w_pf.T), iters=64, repeats=7)
     pk_pf = promote_int8(pack_linear(
         {"weight": w_pf, "bias": None}, qcfg,
         importance=rng.uniform(0.1, 1.0, size=(kp,)), nibble=True,
@@ -193,10 +195,66 @@ def main() -> None:
     def q_prefill(x, p):
         return real_quant_linear(p, x, compute="int", interpret=_TINY)
 
-    t_pf_q = time_steps(q_prefill, (x_pf, pk_pf), iters=16, repeats=5)
+    t_pf_q = time_steps(q_prefill, (x_pf, pk_pf), iters=64, repeats=7)
     _log(f"prefill bf16 {t_pf_bf*1e3:.3f} ms vs promoted-int8 "
          f"{t_pf_q*1e3:.3f} ms ({t_pf_bf/t_pf_q:.2f}x)")
     del w_pf, x_pf, pk_pf
+    gc.collect()
+
+    # ---------------- FULL-MODEL prefill throughput (VERDICT r3 #2) --------
+    # promoted-int8 identity trees for every layer (the serving prefill
+    # twin), full depth, one 1024-token prompt — built layer by layer and
+    # deleted before the packed decode tree goes up (8.9 GB + 4.4 GB would
+    # not cohabit with headroom).
+    cfg_pf = cfg_at(FULL_LAYERS)
+    pf_len = 64 if _TINY else 1024
+    _log("building promoted-int8 prefill model (layer by layer)")
+    key_pf = jax.random.PRNGKey(2)  # same weights as the decode tree
+
+    def build_promoted(cfg):
+        layers = {}
+        imp = rng.uniform(0.1, 1.0, size=(cfg.hidden_size,))
+        for i in range(cfg.num_hidden_layers):
+            lp = llama.init_layer_params(jax.random.fold_in(key_pf, i), cfg)
+            for grp in ("self_attn", "mlp"):
+                for nm_, lin in lp[grp].items():
+                    k_in = lin["weight"].shape[1]
+                    lp[grp][nm_] = promote_int8(pack_linear(
+                        lin, qcfg,
+                        importance=(imp if k_in == cfg.hidden_size else
+                                    rng.uniform(0.1, 1.0, size=(k_in,))),
+                        nibble=True))
+            layers[str(i)] = lp
+        h = cfg.hidden_size
+        return {
+            "embed_tokens": {"weight": jax.random.normal(
+                jax.random.fold_in(key_pf, 1001),
+                (cfg.vocab_size, h), jnp.bfloat16) * 0.02},
+            "layers": layers,
+            "norm": {"weight": jnp.ones((h,), jnp.bfloat16)},
+            "lm_head": pack_linear(
+                llama._init_lin(jax.random.fold_in(key_pf, 1000),
+                                cfg.vocab_size, h, False, jnp.bfloat16),
+                head_qcfg),
+        }
+
+    promoted = build_promoted(cfg_pf)
+    pf_ids = jnp.asarray(rng.integers(0, cfg_pf.vocab_size,
+                                      size=(1, pf_len)))
+    pf_ctx = ForwardContext(compute="int", interpret=_TINY)
+
+    def full_prefill(t, p):
+        logits, _ = llama.forward(p, t.astype(jnp.int32), cfg_pf, ctx=pf_ctx)
+        return logits[:, -1]
+
+    _log("timing full-model prefill (compiles on first run)")
+    t_pf_full = time_steps(full_prefill, (pf_ids.astype(jnp.float32),
+                                          promoted),
+                           iters=4, repeats=3)
+    prefill_tokens_per_s = pf_len / t_pf_full
+    _log(f"full-model prefill {t_pf_full*1e3:.1f} ms for {pf_len} tokens "
+         f"({prefill_tokens_per_s:.0f} tok/s)")
+    del promoted
     gc.collect()
 
     # ---------------- packed model, full depth, built layer-by-layer -------
@@ -275,7 +333,55 @@ def main() -> None:
         "lm_head": pack_linear(lm_head, head_qcfg),
     }
     del lm_head, layers
+
+    # ---------------- serving benchmark (VERDICT r3 #4) --------------------
+    # tokens/s through the REAL ContinuousBatcher (admission + bucketed
+    # prefill + K-chunked on-device greedy decode) over the per-layer packed
+    # tree, wall-clock.  NOTE: runs on the per-layer kernel path (the
+    # batcher's per-slot caches do not ride the prefetch-scan), and each
+    # chunk costs one tunnel round trip — a lower bound on the chip's
+    # serving rate.
+    serving = {}
+    if not _TINY:
+        import time as _time
+
+        from smoothquant_tpu.serve.batching import ContinuousBatcher, Request
+
+        _log("serving bench: ContinuousBatcher, 12 requests, chunk=8 "
+             "(compiles on first run)")
+        batcher = ContinuousBatcher(llama, packed, cfg, quant=qcfg,
+                                    max_batch=BATCH, max_len=CACHE,
+                                    quant_kv=True, compute="auto")
+        s_rng = np.random.default_rng(42)
+        reqs = [Request(uid=i,
+                        prompt=s_rng.integers(
+                            0, cfg.vocab_size,
+                            size=(int(s_rng.integers(100, 240)),)),
+                        max_new_tokens=32)
+                for i in range(12)]
+        for r in reqs:
+            batcher.submit(r)
+        # warm the compiles with one chunk, then measure the rest
+        batcher.step_chunk(8)
+        t0 = _time.perf_counter()
+        batcher.run_to_completion(chunk=8)
+        wall = _time.perf_counter() - t0
+        toks = sum(len(r.generated) for r in reqs)
+        serving = {"serving_tokens_per_s": round((toks - 32) / wall, 1),
+                   "serving_tokens": toks, "serving_wall_s": round(wall, 3)}
+        _log(f"serving: {toks} tokens, {serving['serving_tokens_per_s']} "
+             "tok/s wall (per-layer path + tunnel dispatch)")
+        del batcher
+        gc.collect()
+
     packed = llama.stack_layers(packed, cfg)
+    if not _TINY:
+        # block-contiguous weight layout (prefetch-scan path only; the tiny
+        # smoke config's 32-slot cache falls back to the copying scan,
+        # which slices per-layer and cannot consume 6-D blocked leaves)
+        from smoothquant_tpu.kernels.pack import block_decode_tree
+
+        packed = block_decode_tree(packed)
     gc.collect()
     _log("packed model ready; timing quant decode (compiles on first run)")
 
@@ -312,6 +418,26 @@ def main() -> None:
     tokens_per_s = BATCH / t_q
     vs_baseline = t_bf_est / t_q
 
+    # ---------------- simulated 2-host scaling efficiency ------------------
+    # the real ClusterFrontend routing + real admission policy over virtual
+    # per-host clocks driven by the JUST-MEASURED per-step costs (serve/sim)
+    # — labeled simulation: validates scheduling under load skew, not DCN.
+    from smoothquant_tpu.serve.sim import (
+        CostModel,
+        scaling_efficiency,
+        skewed_trace,
+    )
+
+    sim_cost = CostModel(
+        decode_step_s=t_q,
+        prefill_s_per_token=1.0 / max(prefill_tokens_per_s, 1.0),
+        prefill_base_s=5e-4)
+    sim = scaling_efficiency(
+        skewed_trace(64, seed=0, max_len=CACHE), sim_cost, 2,
+        max_batch=BATCH, max_len=CACHE)
+    _log(f"simulated 2-host scaling efficiency {sim['scaling_efficiency']:.3f}"
+         f" (skewed 64-request trace)")
+
     print(json.dumps({
         "metric": ("llama2-7B-dim W4A4 g64 5%-salient nibble-packed decode "
                    "throughput (full 32-layer depth, int8 KV, fused "
@@ -336,6 +462,12 @@ def main() -> None:
             "prefill_bf16_ms": round(t_pf_bf * 1e3, 3),
             "prefill_int8_ms": round(t_pf_q * 1e3, 3),
             "prefill_vs_bf16": round(t_pf_bf / t_pf_q, 3),
+            "prefill_full_ms": round(t_pf_full * 1e3, 2),
+            "prefill_tokens_per_s": round(prefill_tokens_per_s, 0),
+            "scaling_efficiency_sim": round(sim["scaling_efficiency"], 4),
+            "sim_makespan_1host_s": round(sim["one_host"]["makespan_s"], 3),
+            "sim_makespan_2host_s": round(sim["n_host"]["makespan_s"], 3),
+            **serving,
             "chip": chip.name,
             "batch": BATCH, "cache_len": CACHE, "layers": FULL_LAYERS,
         },

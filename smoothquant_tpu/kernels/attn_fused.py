@@ -87,7 +87,7 @@ def _make_inline_kernel(*, sm_scale: float, hc: int, rp: int, nkb: int,
         def q_tile(b2, j):
             if not flat_q:
                 return q_ref[b2, j]
-            qf = q_ref[b2:b2 + 1, j * d:(j + 1) * d].astype(jnp.float32)
+            qf = q_ref[b2, 0:1, j * d:(j + 1) * d].astype(jnp.float32)
             if rotary:
                 cosb = cos_ref[b2, 0].astype(jnp.float32)[None, :]
                 sinb = sin_ref[b2, 0].astype(jnp.float32)[None, :]
@@ -295,8 +295,10 @@ def _fused_attn_call(layer_idx, pos, q, k_new, v_new, cos, sin,
                      interpret, write_cache, int8_dots, flat_io=False):
     l_num, _, n_kv, s, _ = k_q.shape
     if flat_io:
-        # q: (B, H*D) PRE-rotary, output flat (B, H*D) — MHA only
-        b, hd = q.shape
+        # q: (B, 1, H*D) PRE-rotary, output flat (B, 1, H*D) — MHA only.
+        # The unit middle dim satisfies Mosaic's last-two-block-dims rule
+        # (the (bc, hc*d) block of a (B, H*D) array would not).
+        b, _one, hd = q.shape
         d = k_q.shape[-1]
         h = hd // d
         assert h == n_kv, "flat_io requires MHA (rep == 1)"
@@ -332,8 +334,9 @@ def _fused_attn_call(layer_idx, pos, q, k_new, v_new, cos, sin,
         def cmap0(t, s_):
             return (t // (nkb * nst), (t % (nkb * nst)) // nst, t % nst)
 
-        q_spec0 = (pl.BlockSpec((bc, hc * d),
-                               lambda t, s_: cmap0(t, s_)[:2],
+        q_spec0 = (pl.BlockSpec((bc, 1, hc * d),
+                               lambda t, s_: cmap0(t, s_)[:2][:1]
+                               + (0, cmap0(t, s_)[1]),
                                memory_space=pltpu.VMEM)
                    if flat_io else
                    pl.BlockSpec((bc, hc, rp, d),
@@ -381,7 +384,8 @@ def _fused_attn_call(layer_idx, pos, q, k_new, v_new, cos, sin,
                         memory_space=pltpu.VMEM),
                 ],
                 out_specs=[pl.BlockSpec(
-                    (bc, hc * d), lambda t, s_: cmap0(t, s_)[:2],
+                    (bc, 1, hc * d),
+                    lambda t, s_: (cmap0(t, s_)[0], 0, cmap0(t, s_)[1]),
                     memory_space=pltpu.VMEM) if flat_io else
                     pl.BlockSpec(
                     (bc, hc, rp, d),
@@ -394,7 +398,7 @@ def _fused_attn_call(layer_idx, pos, q, k_new, v_new, cos, sin,
                 ],
             ),
             out_shape=[jax.ShapeDtypeStruct(
-                (b, h * d) if flat_io else (b, n_kv, rp, d), q.dtype)],
+                (b, 1, h * d) if flat_io else (b, n_kv, rp, d), q.dtype)],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",),
             ),
@@ -603,7 +607,7 @@ def fused_virtual_attn_stacked(
 def fused_virtual_attn_flat(
     layer_idx: jax.Array,   # scalar int32
     pos: jax.Array,         # scalar int32 — aligned decode position
-    q2d: jax.Array,         # (B, H*D) — PRE-rotary queries, flat
+    q2d: jax.Array,         # (B, 1, H*D) — PRE-rotary queries, flat
     k_new: jax.Array,       # (B, H_kv, D) — PRE-rotary keys
     v_new: jax.Array,       # (B, H_kv, D)
     cos: Optional[jax.Array],    # (B, 1, D) rotary tables (None: non-rotary)
@@ -622,7 +626,7 @@ def fused_virtual_attn_flat(
     q-rotary runs in-kernel and the (B, H*D) in/out layouts erase the XLA
     apply_rotary + rep-pad + rep-slice + reshape chain around the call
     (~8 us/layer of decode-scan glue).  MHA (rep == 1) only; returns
-    (B, H*D)."""
+    (B, 1, H*D)."""
     return _fused_attn_call(layer_idx, pos, q2d, k_new, v_new, cos, sin,
                             k_q, v_q, k_scale, v_scale, sm_scale=sm_scale,
                             rotary=rotary, interpret=interpret,

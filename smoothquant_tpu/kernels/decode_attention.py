@@ -125,8 +125,8 @@ def _flash_head(q, k_tile, v_tile, bias_row, ks_row, vs_row, sm_scale,
         if flat_d is None:
             o_ref[o_b, j] = (acc_new / denom).astype(o_ref.dtype)
         else:
-            # flat (bc, hc*d) output: only the real query row (MHA rep=1)
-            o_ref[o_b:o_b + 1, j * flat_d:(j + 1) * flat_d] = (
+            # flat (bc, 1, hc*d) output: only the real query row (MHA rep=1)
+            o_ref[o_b, 0:1, j * flat_d:(j + 1) * flat_d] = (
                 acc_new[:1] / denom[:1]).astype(o_ref.dtype)
 
 

@@ -247,7 +247,7 @@ def _make_rawx_kernel(gpt: int, gs: int, qmax: float, k_ns_raw: int,
                       n_sal: int, k_s: int, half_ch: int, c: int, eps: float,
                       norm_kind, need_mask: bool, num_k: int,
                       sal_mode: str, interpret: bool,
-                      blocked: bool = False):
+                      blocked: bool = False, stacked_norm: bool = False):
     """Kernel factory for the fused act-quant int4 matmul (see
     int4_group_matmul_stacked_rawx).  Returns a kernel whose positional ref
     signature matches the operand list the wrapper builds (norm refs only
@@ -275,6 +275,11 @@ def _make_rawx_kernel(gpt: int, gs: int, qmax: float, k_ns_raw: int,
 
     def _wsrow(ref, gg):
         return ref[0, 0, 0, gg] if blocked else ref[0, gg]
+
+    def _nwrow(ref):
+        # stacked (L, 1, C) norm rows carry an extra unit dim (Mosaic's
+        # last-two-dims block rule)
+        return ref[0, 0] if stacked_norm else ref[0]
 
     def kernel(*refs):
         pos = 1  # refs[0] = scalar-prefetch layer idx (consumed by index maps)
@@ -346,7 +351,7 @@ def _make_rawx_kernel(gpt: int, gs: int, qmax: float, k_ns_raw: int,
                        .astype(jnp.float32))
                 if fuse_norm:
                     sal = (sal * r_ref[:, :1]
-                           * nw_full_ref[0, k_ns_raw:k_ns_raw + n_sal]
+                           * _nwrow(nw_full_ref)[k_ns_raw:k_ns_raw + n_sal]
                            .astype(jnp.float32)[None, :])
                 if k_s > n_sal:
                     sal = jnp.concatenate(
@@ -374,10 +379,10 @@ def _make_rawx_kernel(gpt: int, gs: int, qmax: float, k_ns_raw: int,
                          .astype(jnp.float32))
                     if fuse_norm:
                         y = (y * r
-                             * nw_ref_[0, gg * gs:(gg + 1) * gs]
+                             * _nwrow(nw_ref_)[gg * gs:(gg + 1) * gs]
                              .astype(jnp.float32)[None, :])
                     elif norm_kind == "mask":
-                        y = (y * nw_ref_[0, gg * gs:(gg + 1) * gs]
+                        y = (y * _nwrow(nw_ref_)[gg * gs:(gg + 1) * gs]
                              .astype(jnp.float32)[None, :])
                     if need_mask and (base or k_ns_raw < half_ch):
                         # zero the overlap with salient/pad cols
@@ -503,13 +508,23 @@ def int4_group_matmul_stacked_rawx(
         x_raw = jnp.pad(x_raw, ((0, n_pad - n), (0, p_ch - c)))
 
     nk = norm_kind if norm_w is not None else None
-    stacked_norm = nk is not None and norm_w.ndim == 2
+    stacked_norm = nk is not None and norm_w.ndim in (2, 3)
     if nk is not None:
         # (L, C) stacked norm rows: the layer's row is selected by the
         # scalar-prefetch index map INSIDE the kernel streams — the XLA
-        # dynamic-slice per layer (3 ops/layer of decode-scan glue) vanishes
-        nw = norm_w if stacked_norm else norm_w.reshape(1, -1)
-        nw = jnp.pad(nw.astype(x_raw.dtype), ((0, 0), (0, p_ch - c)))
+        # dynamic-slice per layer (3 ops/layer of decode-scan glue) vanishes.
+        # Stored (L, 1, C): Mosaic's block rule needs the last-two block
+        # dims (1, C) to equal the array's trailing dims
+        if stacked_norm and norm_w.ndim == 3:
+            # (L, 1, C) — pass pre-reshaped from OUTSIDE the scan body, or
+            # XLA relayout-copies the whole stack per layer call
+            nw = jnp.pad(norm_w.astype(x_raw.dtype),
+                         ((0, 0), (0, 0), (0, p_ch - c)))
+        else:
+            nw = norm_w if stacked_norm else norm_w.reshape(1, -1)
+            nw = jnp.pad(nw.astype(x_raw.dtype), ((0, 0), (0, p_ch - c)))
+            if stacked_norm:
+                nw = nw.reshape(nw.shape[0], 1, p_ch)
     assert x_sal is None or sal_select is None
     sal_mode = ("select" if sal_select is not None
                 else "external" if x_sal is not None else "tail")
@@ -545,12 +560,12 @@ def int4_group_matmul_stacked_rawx(
     if nk is not None:
         if stacked_norm:
             in_specs += [
-                pl.BlockSpec((1, p_ch), lambda i, j, k, s: (s[0], 0),
+                pl.BlockSpec((1, 1, p_ch), lambda i, j, k, s: (s[0], 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, bs), lambda i, j, k, s: (s[0], k),
+                pl.BlockSpec((1, 1, bs), lambda i, j, k, s: (s[0], 0, k),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, bs),
-                             lambda i, j, k, s, gh=gh: (s[0], k + gh),
+                pl.BlockSpec((1, 1, bs),
+                             lambda i, j, k, s, gh=gh: (s[0], 0, k + gh),
                              memory_space=pltpu.VMEM),
             ]
         else:
@@ -622,7 +637,8 @@ def int4_group_matmul_stacked_rawx(
         gpt=tile_g, gs=group_size, qmax=float(2 ** (act_bits - 1) - 1),
         k_ns_raw=k_ns_raw, n_sal=num_salient, k_s=k_s, half_ch=half, c=c,
         eps=eps, norm_kind=nk, need_mask=need_mask, num_k=gh,
-        sal_mode=sal_mode, interpret=interpret, blocked=blocked)
+        sal_mode=sal_mode, interpret=interpret, blocked=blocked,
+        stacked_norm=stacked_norm)
 
     out = pl.pallas_call(
         kernel,
@@ -795,6 +811,9 @@ def int4_group_matmul_stacked(
         out_shape=jax.ShapeDtypeStruct((n_pad, o), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # prefill-size N-tiles exceed the 16 MB scoped-vmem default;
+            # v5e has 128 MB VMEM
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * n_pad * o * (kk + k_s),
@@ -931,6 +950,9 @@ def int4_group_matmul(
         out_shape=jax.ShapeDtypeStruct((n_pad, o_pad), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # prefill-size N-tiles exceed the 16 MB scoped-vmem default;
+            # v5e has 128 MB VMEM
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * n_pad * o_pad * (kk + k_s),

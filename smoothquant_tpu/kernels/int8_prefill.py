@@ -281,6 +281,9 @@ def int8_prefill_matmul(
         scratch_shapes=[pltpu.VMEM((tile_n, tile_o), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # large-N prefill tiles exceed the 16 MB default scoped-vmem
+            # limit; v5e has 128 MB VMEM — let the autotiler breathe
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * n_pad * o_pad * (k_pad + k_s),

@@ -742,8 +742,10 @@ def block_decode_tree(tree):
                 # gather, bit-exactly (one term per output column)
                 perm = np.asarray(node.perm)          # (L, C)
                 l_num, c = perm.shape
-                sel = np.zeros((l_num, c, m.k_s),
-                               np.asarray(node.w_sal_t).dtype)
+                # NB: read the dtype from the array OBJECT — np.asarray of
+                # the stacked salient weights would fetch tens of MB from
+                # the device just to inspect .dtype
+                sel = np.zeros((l_num, c, m.k_s), np.dtype(node.w_sal_t.dtype))
                 for li in range(l_num):
                     sal_idx = perm[li, m.in_features - m.num_salient:]
                     sel[li, sal_idx, np.arange(m.num_salient)] = 1

@@ -282,7 +282,9 @@ def real_quant_linear(
             else:  # unfusible recipe: apply the norm first
                 from smoothquant_tpu.models.common import rms_norm
 
-                if n_w.ndim == 2:
+                if n_w.ndim == 3:
+                    n_w = n_w[layer_idx, 0]
+                elif n_w.ndim == 2:
                     n_w = n_w[layer_idx]
                 x_perm = rms_norm({"weight": n_w}, x_perm, n_eps)
         if (meta.layout == "identity" and grouped
@@ -357,8 +359,11 @@ def real_quant_linear(
                 from smoothquant_tpu.models.common import rms_norm
 
                 x_perm = rms_norm(
-                    {"weight": (norm_row[layer_idx] if norm_row.ndim == 2
-                                else norm_row)}, x_perm, eps)
+                    {"weight": (norm_row[layer_idx, 0]
+                                if norm_row.ndim == 3
+                                else norm_row[layer_idx]
+                                if norm_row.ndim == 2 else norm_row)},
+                    x_perm, eps)
             k_ns_raw = meta.in_features - meta.num_salient
             x_ns = x_perm[:, :k_ns_raw]
             if meta.k_ns != k_ns_raw:

@@ -76,6 +76,36 @@ def stack_pp_stages(params: dict, cfg, pp: int) -> dict:
     return out
 
 
+def stack_pp_stages_v2(params: dict, cfg, pp: int) -> dict:
+    """stack_pp_stages + VOCAB-SHARDED edges (PP v2, VERDICT r3 #7).
+
+    v1 replicates embeddings/final-norm/lm_head on every stage for SPMD
+    uniformity — ~2 x V x H bytes of dead weight per non-edge device.  v2
+    shards BOTH vocab matrices over the pp axis (Megatron-style
+    vocab-parallel embedding): each device stores V/pp embedding rows and
+    V/pp lm_head rows, shaped (pp, V/pp, H) and sharded P(pp).  The lookup
+    becomes a masked local take + one psum of the (B, S, H) activations;
+    the lm_head becomes a broadcast of stage pp-1's hidden states (psum of
+    (B, S, H)) + a local V/pp-slice matmul whose outputs assemble the
+    logits via the out_specs sharding — no (V, H) replication anywhere.
+    The tiny final-norm row stays replicated.  fp/simulated-quant lm_head
+    (dict) only; PackedLinear lm_heads keep v1."""
+    out = stack_pp_stages(params, cfg, pp)
+    v, h = out["embed_tokens"]["weight"].shape
+    if v % pp:
+        raise ValueError(f"vocab_size {v} % pp {pp} != 0")
+    out["embed_tokens"] = {
+        "weight": out["embed_tokens"]["weight"].reshape(pp, v // pp, h)}
+    lm = out.get("lm_head")
+    if lm is not None and isinstance(lm, dict):
+        out["lm_head"] = {
+            "weight": lm["weight"].reshape(pp, v // pp, h),
+            "bias": (None if lm.get("bias") is None
+                     else lm["bias"].reshape(pp, v // pp)),
+        }
+    return out
+
+
 def make_pp_forward(mod, cfg, mesh: Mesh, *, microbatches: int = 0,
                     compute: str = "auto", interpret: bool = False,
                     quant=None):
@@ -92,20 +122,25 @@ def make_pp_forward(mod, cfg, mesh: Mesh, *, microbatches: int = 0,
     n_mb = microbatches or pp
 
     def build(staged):
+        # v2 (stack_pp_stages_v2): vocab-sharded edges ride P(pp) like the
+        # stage weights; v1 keeps them replicated
+        v2 = staged["embed_tokens"]["weight"].ndim == 3
         specs = {
-            k: (jax.tree.map(lambda a: P(PP_AXIS), v) if k == "stages"
+            k: (jax.tree.map(lambda a: P(PP_AXIS), v)
+                if k == "stages" or (v2 and k in ("embed_tokens", "lm_head"))
                 else jax.tree.map(lambda a: P(), v))
             for k, v in staged.items()
         }
         ctx = ForwardContext(quant=quant, compute=compute,
                              interpret=interpret)
         perm = [(i, (i + 1) % pp) for i in range(pp)]
+        out_spec = P(None, None, PP_AXIS) if v2 else P(None, None, None)
 
         @jax.jit
         @functools.partial(
             shard_map, mesh=mesh,
             in_specs=(specs, P(None, None)),
-            out_specs=P(None, None, None),
+            out_specs=out_spec,
             check_vma=False,
         )
         def fwd(local, ids):
@@ -116,7 +151,19 @@ def make_pp_forward(mod, cfg, mesh: Mesh, *, microbatches: int = 0,
             bm = b // n_mb
             h = local["embed_tokens"]["weight"].shape[-1]
 
-            emb = jnp.take(local["embed_tokens"]["weight"], ids, axis=0)
+            if v2:
+                # vocab-parallel lookup: masked local take + one psum of
+                # the (B, S, H) activations (Megatron-style)
+                tab = local["embed_tokens"]["weight"][0]     # (V/pp, H)
+                vloc = tab.shape[0]
+                loc = ids - s_idx * vloc
+                ok = jnp.logical_and(loc >= 0, loc < vloc)
+                emb = jnp.take(tab, jnp.clip(loc, 0, vloc - 1), axis=0)
+                emb = jax.lax.psum(
+                    jnp.where(ok[..., None], emb, 0).astype(jnp.float32),
+                    PP_AXIS).astype(tab.dtype)
+            else:
+                emb = jnp.take(local["embed_tokens"]["weight"], ids, axis=0)
             emb_mb = emb.reshape(n_mb, bm, s, h)
             positions = jax.lax.broadcasted_iota(jnp.int32, (bm, s), 1)
             cos, sin = rotary_cos_sin(positions, cfg.head_dim,
@@ -159,8 +206,25 @@ def make_pp_forward(mod, cfg, mesh: Mesh, *, microbatches: int = 0,
             hs = outbuf.reshape(b, s, h)
             from smoothquant_tpu.models.common import rms_norm
 
-            hs = rms_norm(local["norm"], hs, cfg.rms_norm_eps)
             lm = local.get("lm_head")
+            if v2:
+                # broadcast stage pp-1's hidden states (B*S*H over ICI —
+                # tiny next to a (V, H) weight replication), then every
+                # stage emits ITS V/pp logit slice; out_specs assembles
+                hs = jax.lax.psum(
+                    jnp.where(s_idx == pp - 1, hs, 0.0)
+                    .astype(jnp.float32), PP_AXIS).astype(hs.dtype)
+                hs = rms_norm(local["norm"], hs, cfg.rms_norm_eps)
+                if cfg.tie_word_embeddings or lm is None:
+                    w_loc = local["embed_tokens"]["weight"][0]
+                else:
+                    w_loc = lm["weight"][0]
+                logits = unembed(hs, w_loc).astype(jnp.float32)
+                if (lm is not None and isinstance(lm, dict)
+                        and lm.get("bias") is not None):
+                    logits = logits + lm["bias"][0].astype(jnp.float32)
+                return logits
+            hs = rms_norm(local["norm"], hs, cfg.rms_norm_eps)
             if cfg.tie_word_embeddings or lm is None:
                 logits = unembed(hs, local["embed_tokens"]["weight"])
             elif isinstance(lm, dict):

@@ -146,3 +146,40 @@ def test_pp_quantized_stages():
     got = fwd(staged, ids)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_pp_v2_vocab_sharded_edges():
+    """PP v2 (stack_pp_stages_v2): vocab-parallel embedding + lm_head —
+    per-device edge storage drops to V/pp rows and logits still match the
+    single-device forward exactly."""
+    from smoothquant_tpu.parallel.pp import (
+        make_pp_forward,
+        make_pp_mesh,
+        stack_pp_stages,
+        stack_pp_stages_v2,
+    )
+
+    cfg = llama.LlamaConfig.tiny()
+    params = llama.init_params(jax.random.PRNGKey(2), cfg)
+    ids = jnp.asarray(np.random.default_rng(3).integers(
+        0, cfg.vocab_size, size=(4, 16)))
+    ref, _ = llama.forward(params, ids, cfg)
+
+    pp = 2
+    mesh = make_pp_mesh(pp)
+    staged = stack_pp_stages_v2(params, cfg, pp)
+    # edge memory is actually sharded: V/pp rows per stage slice
+    assert staged["embed_tokens"]["weight"].shape == (
+        pp, cfg.vocab_size // pp, cfg.hidden_size)
+    assert staged["lm_head"]["weight"].shape == (
+        pp, cfg.vocab_size // pp, cfg.hidden_size)
+    fwd = make_pp_forward(llama, cfg, mesh)(staged)
+    got = np.asarray(fwd(staged, ids))
+    np.testing.assert_allclose(got, np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+    # v1 (replicated edges) still agrees — the two stackings are
+    # interchangeable numerically
+    staged1 = stack_pp_stages(params, cfg, pp)
+    fwd1 = make_pp_forward(llama, cfg, mesh)(staged1)
+    got1 = np.asarray(fwd1(staged1, ids))
+    np.testing.assert_allclose(got, got1, rtol=2e-4, atol=2e-4)
