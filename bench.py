@@ -353,22 +353,46 @@ def main() -> None:
                                     max_batch=BATCH, max_len=CACHE,
                                     quant_kv=True, compute="auto")
         s_rng = np.random.default_rng(42)
-        reqs = [Request(uid=i,
-                        prompt=s_rng.integers(
-                            0, cfg.vocab_size,
-                            size=(int(s_rng.integers(100, 240)),)),
-                        max_new_tokens=32)
-                for i in range(12)]
+
+        def make_reqs(n, uid0):
+            return [Request(uid=uid0 + i,
+                            prompt=s_rng.integers(
+                                0, cfg.vocab_size,
+                                size=(int(s_rng.integers(100, 240)),)),
+                            max_new_tokens=32)
+                    for i in range(n)]
+
+        # warm EVERY graph in the serving cycle (prefill, chunked decode,
+        # finish, re-admission) with two full waves before the clock starts
+        # — a compile inside the window once hid a 200+ tok/s engine behind
+        # a 6 tok/s reading
+        for r in make_reqs(8, 1000):
+            batcher.submit(r)
+        batcher.run_to_completion(chunk=8)
+        reqs = make_reqs(12, 0)
         for r in reqs:
             batcher.submit(r)
-        # warm the compiles with one chunk, then measure the rest
-        batcher.step_chunk(8)
         t0 = _time.perf_counter()
         batcher.run_to_completion(chunk=8)
         wall = _time.perf_counter() - t0
         toks = sum(len(r.generated) for r in reqs)
-        serving = {"serving_tokens_per_s": round((toks - 32) / wall, 1),
+        serving = {"serving_tokens_per_s": round(toks / wall, 1),
                    "serving_tokens": toks, "serving_wall_s": round(wall, 3)}
+        # steady-state decode rate: 3 chunks with full slots and no
+        # admission inside the window (admission chunks carry host-side
+        # prefill dispatch that a local-attached chip would not pay)
+        for r in make_reqs(4, 2000):
+            batcher.submit(r)
+        batcher.step_chunk(8)  # admission + first chunk outside the clock
+        t0 = _time.perf_counter()
+        for _ in range(3):
+            batcher.step_chunk(8)
+        steady_wall = _time.perf_counter() - t0
+        batcher.run_to_completion(chunk=8)
+        serving["serving_steady_tokens_per_s"] = round(
+            4 * 8 * 3 / steady_wall, 1)
+        _log(f"serving steady-state {serving['serving_steady_tokens_per_s']}"
+             " tok/s (decode-only chunks)")
         _log(f"serving: {toks} tokens, {serving['serving_tokens_per_s']} "
              "tok/s wall (per-layer path + tunnel dispatch)")
         del batcher

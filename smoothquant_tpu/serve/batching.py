@@ -73,11 +73,15 @@ class ContinuousBatcher:
         self._steps = 0
 
         @jax.jit
-        def _prefill(params, ids):
+        def _prefill(params, ids, lens):
             # fresh caches for a BATCH of same-bucket prompts (one row per
             # admitted request — same-bucket admissions share one prefill
             # launch; _admit pads rows to a power of two, so this compiles
-            # at most (buckets x log2(max_batch)+1) times)
+            # at most (buckets x log2(max_batch)+1) times).  The FIRST
+            # generated token is argmax'd ON DEVICE at each row's true last
+            # prompt position: fetching the full (rows, S, V) logits to the
+            # host cost ~9 s/prefill over a remote link (131 MB at bucket
+            # 256) and hid a 200 tok/s engine behind a 4 tok/s reading.
             caches = [
                 cache_cls.create(ids.shape[0], ids.shape[1], n_kv,
                                  cfg.head_dim, self.kv_dtype)
@@ -85,7 +89,11 @@ class ContinuousBatcher:
             ]
             logits, caches = self.mod.forward(params, ids, cfg, ctx=self.ctx,
                                               caches=caches)
-            return logits, caches
+            idx = jnp.clip(lens - 1, 0, ids.shape[1] - 1)
+            last = jnp.take_along_axis(
+                logits, idx[:, None, None], axis=1)[:, 0]
+            first_tok = jnp.argmax(last, axis=-1).astype(jnp.int32)
+            return first_tok, caches
 
         @jax.jit
         def _scatter(caches, batch_caches, row, slot, new_pos):
@@ -201,11 +209,14 @@ class ContinuousBatcher:
             while n_rows < len(batch):
                 n_rows *= 2
             ids = np.zeros((n_rows, head_bucket), np.int32)
+            lens = np.ones((n_rows,), np.int32)
             for i, req in enumerate(batch):
                 ids[i, : len(req.prompt)] = req.prompt
-            logits, kv_batch = self._prefill(self.prefill_params,
-                                             jnp.asarray(ids))
-            logits = np.asarray(logits)
+                lens[i] = len(req.prompt)
+            first_toks, kv_batch = self._prefill(self.prefill_params,
+                                                 jnp.asarray(ids),
+                                                 jnp.asarray(lens))
+            first_toks = np.asarray(first_toks)
             for i, req in enumerate(batch):
                 slot = free.pop(0)
                 s_true = len(req.prompt)
@@ -221,8 +232,7 @@ class ContinuousBatcher:
                 self.seq_pos[slot] = s_true
                 self.slot_req[slot] = req
                 # first generated token: the last TRUE prompt position
-                first = int(np.argmax(logits[i, s_true - 1]))
-                self._emit(slot, first)
+                self._emit(slot, int(first_toks[i]))
 
     def _emit(self, slot: int, token: int) -> None:
         req = self.slot_req[slot]

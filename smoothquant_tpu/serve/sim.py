@@ -70,14 +70,13 @@ class SimBatcher(ContinuousBatcher):
 
         self.caches = [_Caches()]
 
-        def _prefill(params, ids):
+        def _prefill(params, ids, lens):
             rows, bucket = ids.shape
             self.clock += (cost.prefill_base_s
                            + cost.prefill_s_per_token * rows * bucket)
-            # greedy argmax of zeros → token 0; content is irrelevant (no
-            # EOS in sim traces, max_new_tokens terminates)
-            logits = np.zeros((rows, bucket, 2), np.float32)
-            return logits, None
+            # greedy token 0 for every row; content is irrelevant (no EOS
+            # in sim traces, max_new_tokens terminates)
+            return np.zeros((rows,), np.int32), None
 
         def _scatter(caches, kv_batch, row, slot, new_pos):
             return caches
