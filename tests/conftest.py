@@ -65,6 +65,8 @@ _SLOW = {
     ("test_tp_packed.py", "test_tp_decode_with_sharded_kv_cache"),
     ("test_tp_packed.py", "test_generator_over_tp_decode"),
     ("test_tp_packed.py", "test_exact_vs_single_chip_unsorted_groups"),
+    ("test_opt_int8.py", "test_int8_cached_decode_matches_teacher_forced"),
+    ("test_mlp_fused.py", "test_layer_selection"),
 }
 _SLOW_KEEP_PARAMS = {
     # quant_kv=True is the flagship-bench configuration — keep it fast
