@@ -381,16 +381,22 @@ def main() -> None:
         # steady-state decode rate: 3 chunks with full slots and no
         # admission inside the window (admission chunks carry host-side
         # prefill dispatch that a local-attached chip would not pay)
-        for r in make_reqs(4, 2000):
+        steady_reqs = make_reqs(4, 2000)
+        for r in steady_reqs:
             batcher.submit(r)
         batcher.step_chunk(8)  # admission + first chunk outside the clock
+        gen0 = sum(len(r.generated) for r in steady_reqs)
         t0 = _time.perf_counter()
         for _ in range(3):
             batcher.step_chunk(8)
         steady_wall = _time.perf_counter() - t0
+        # count tokens actually EMITTED in the window (post-EOS/max_new
+        # tokens inside a chunk are discarded host-side — the nominal
+        # 4*8*3 overstated throughput ~4%)
+        steady_toks = sum(len(r.generated) for r in steady_reqs) - gen0
         batcher.run_to_completion(chunk=8)
         serving["serving_steady_tokens_per_s"] = round(
-            4 * 8 * 3 / steady_wall, 1)
+            steady_toks / steady_wall, 1)
         _log(f"serving steady-state {serving['serving_steady_tokens_per_s']}"
              " tok/s (decode-only chunks)")
         _log(f"serving: {toks} tokens, {serving['serving_tokens_per_s']} "

@@ -476,7 +476,13 @@ def int4_group_matmul_stacked_rawx(
     n, c = x_raw.shape
     blocked = w_packed.ndim == 6
     if blocked:
-        # block_rawx_weights layout: tiles are baked into the array shape
+        # block_rawx_weights layout: tiles are baked into the array shape —
+        # caller-supplied tile overrides cannot take effect here, so reject
+        # mismatches instead of silently ignoring them
+        assert tile_g is None or tile_g == w_packed.shape[3], (
+            f"blocked tree bakes tile_g={w_packed.shape[3]}; got {tile_g}")
+        assert tile_o is None or tile_o == w_packed.shape[5], (
+            f"blocked tree bakes tile_o={w_packed.shape[5]}; got {tile_o}")
         l_num, nkb, njb, tile_g, _gs, tile_o = w_packed.shape
         assert _gs == group_size
         half = nkb * tile_g * group_size

@@ -91,6 +91,16 @@ def stack_pp_stages_v2(params: dict, cfg, pp: int) -> dict:
     The tiny final-norm row stays replicated.  fp/simulated-quant lm_head
     (dict) only; PackedLinear lm_heads keep v1."""
     out = stack_pp_stages(params, cfg, pp)
+    lm0 = out.get("lm_head")
+    if (lm0 is not None and not isinstance(lm0, dict)
+            and not cfg.tie_word_embeddings):
+        # a PackedLinear lm_head cannot be vocab-sharded here (its packed
+        # leaves would be tree-mapped onto P(pp) and the v2 unembed branch
+        # would subscript the dataclass) — fail loudly instead of
+        # half-converting
+        raise ValueError(
+            "stack_pp_stages_v2 supports dict (fp/simulated-quant) lm_heads "
+            "only; use stack_pp_stages (v1) for PackedLinear lm_heads")
     v, h = out["embed_tokens"]["weight"].shape
     if v % pp:
         raise ValueError(f"vocab_size {v} % pp {pp} != 0")
