@@ -145,24 +145,54 @@ def main() -> None:
 
     t_bf = {}
     bf_ctx = ForwardContext(interpret=_TINY)
-    for depth in BF16_DEPTHS:
-        cfg = cfg_at(depth)
-        _log(f"bf16 init depth {depth}")
+    # measure the FULL-depth bf16 baseline directly (VERDICT r4 #5): the
+    # 13.5 GB bf16 tree + 2.2 GB bf16 cache fit the 16 GB chip ALONE, so it
+    # runs first, before anything else is resident.  Falls back to the
+    # 2-point linear fit if the allocation fails.
+    bf16_measured_full = False
+    try:
+        cfg = cfg_at(FULL_LAYERS)
+        _log(f"bf16 init FULL depth {FULL_LAYERS} (13.5 GB, runs alone)")
         params = build_bf16(cfg)
         caches = llama.stacked_caches(cfg, BATCH, CACHE, jnp.bfloat16,
                                       pos=CACHE - 64)
-        _log(f"bf16 decode timing depth {depth} (compiles on first run)")
-        t_bf[depth] = time_steps(make_step(cfg, bf_ctx), (tok, params, caches),
-                                 iters=32, repeats=5, stateful=True)
-        _log(f"bf16 depth {depth}: {t_bf[depth]*1e3:.2f} ms/step")
-        del params, caches
+        _log("bf16 full-depth decode timing (compiles on first run)")
+        t_bf[FULL_LAYERS] = time_steps(
+            make_step(cfg, bf_ctx), (tok, params, caches),
+            iters=32, repeats=5, stateful=True)
+        _log(f"bf16 depth {FULL_LAYERS} MEASURED: "
+             f"{t_bf[FULL_LAYERS]*1e3:.2f} ms/step")
+        t_bf_est = t_bf[FULL_LAYERS]
+        bf16_measured_full = True
+    except Exception as e:  # noqa: BLE001 — OOM on smaller chips
+        _log(f"bf16 full-depth failed ({type(e).__name__}); "
+             "falling back to the 2-point fit")
+    finally:
+        try:
+            del params, caches
+        except NameError:
+            pass
         gc.collect()
+    if not bf16_measured_full:
+        for depth in BF16_DEPTHS:
+            cfg = cfg_at(depth)
+            _log(f"bf16 init depth {depth}")
+            params = build_bf16(cfg)
+            caches = llama.stacked_caches(cfg, BATCH, CACHE, jnp.bfloat16,
+                                          pos=CACHE - 64)
+            _log(f"bf16 decode timing depth {depth} (compiles on first run)")
+            t_bf[depth] = time_steps(make_step(cfg, bf_ctx),
+                                     (tok, params, caches),
+                                     iters=32, repeats=5, stateful=True)
+            _log(f"bf16 depth {depth}: {t_bf[depth]*1e3:.2f} ms/step")
+            del params, caches
+            gc.collect()
 
-    d0, d1 = BF16_DEPTHS
-    per_layer = (t_bf[d1] - t_bf[d0]) / (d1 - d0)
-    t_bf_est = t_bf[d0] + per_layer * (FULL_LAYERS - d0)
-    _log(f"bf16 fit: {per_layer*1e3:.3f} ms/layer, "
-         f"est {FULL_LAYERS}L = {t_bf_est*1e3:.2f} ms/step")
+        d0, d1 = BF16_DEPTHS
+        per_layer = (t_bf[d1] - t_bf[d0]) / (d1 - d0)
+        t_bf_est = t_bf[d0] + per_layer * (FULL_LAYERS - d0)
+        _log(f"bf16 fit: {per_layer*1e3:.3f} ms/layer, "
+             f"est {FULL_LAYERS}L = {t_bf_est*1e3:.2f} ms/step")
 
     # ---------------- prefill micro-metric (VERDICT r1 #3) -----------------
     # the promoted-int8 prefill path vs bf16 at the canonical prefill shape
@@ -334,24 +364,37 @@ def main() -> None:
     }
     del lm_head, layers
 
-    # ---------------- serving benchmark (VERDICT r3 #4) --------------------
+    # ---------------- stack + block the decode tree ------------------------
+    packed_perlayer = packed
+    packed = llama.stack_layers(packed, cfg)
+    if not _TINY:
+        # block-contiguous weight layout (prefetch-scan path only; the tiny
+        # smoke config's 32-slot cache falls back to the copying scan,
+        # which slices per-layer and cannot consume 6-D blocked leaves)
+        from smoothquant_tpu.kernels.pack import block_decode_tree
+
+        packed = block_decode_tree(packed)
+    gc.collect()
+
+    # ---------------- serving benchmark (VERDICT r3 #4, r4 #1) -------------
     # tokens/s through the REAL ContinuousBatcher (admission + bucketed
-    # prefill + K-chunked on-device greedy decode) over the per-layer packed
-    # tree, wall-clock.  NOTE: runs on the per-layer kernel path (the
-    # batcher's per-slot caches do not ride the prefetch-scan), and each
-    # chunk costs one tunnel round trip — a lower bound on the chip's
-    # serving rate.
+    # prefill + K-chunked on-device greedy decode).  The batcher decodes on
+    # the per-slot PREFETCH-SCAN path (stacked tree + (L, B) positions) —
+    # the same no-copy scalar-prefetch kernels as the headline decode;
+    # prefill runs on the per-layer tree.
     serving = {}
     if not _TINY:
         import time as _time
 
         from smoothquant_tpu.serve.batching import ContinuousBatcher, Request
 
-        _log("serving bench: ContinuousBatcher, 12 requests, chunk=8 "
-             "(compiles on first run)")
+        _log("serving bench: ContinuousBatcher (per-slot scan decode), "
+             "12 requests, chunk=8 (compiles on first run)")
         batcher = ContinuousBatcher(llama, packed, cfg, quant=qcfg,
                                     max_batch=BATCH, max_len=CACHE,
-                                    quant_kv=True, compute="auto")
+                                    quant_kv=True, compute="auto",
+                                    prefill_params=packed_perlayer)
+        assert batcher._stacked, "serving must ride the fast scan path"
         s_rng = np.random.default_rng(42)
 
         def make_reqs(n, uid0):
@@ -377,7 +420,12 @@ def main() -> None:
         wall = _time.perf_counter() - t0
         toks = sum(len(r.generated) for r in reqs)
         serving = {"serving_tokens_per_s": round(toks / wall, 1),
-                   "serving_tokens": toks, "serving_wall_s": round(wall, 3)}
+                   "serving_tokens": toks, "serving_wall_s": round(wall, 3),
+                   "serving_wall_note": (
+                       "wall number includes prefill + per-chunk tunnel "
+                       "dispatch RTT (~30 ms/chunk on this remote link); "
+                       "serving_steady_tokens_per_s is the chip's decode "
+                       "rate")}
         # steady-state decode rate: 3 chunks with full slots and no
         # admission inside the window (admission chunks carry host-side
         # prefill dispatch that a local-attached chip would not pay)
@@ -400,18 +448,11 @@ def main() -> None:
         _log(f"serving steady-state {serving['serving_steady_tokens_per_s']}"
              " tok/s (decode-only chunks)")
         _log(f"serving: {toks} tokens, {serving['serving_tokens_per_s']} "
-             "tok/s wall (per-layer path + tunnel dispatch)")
+             "tok/s wall (incl. prefill + tunnel dispatch)")
         del batcher
         gc.collect()
 
-    packed = llama.stack_layers(packed, cfg)
-    if not _TINY:
-        # block-contiguous weight layout (prefetch-scan path only; the tiny
-        # smoke config's 32-slot cache falls back to the copying scan,
-        # which slices per-layer and cannot consume 6-D blocked leaves)
-        from smoothquant_tpu.kernels.pack import block_decode_tree
-
-        packed = block_decode_tree(packed)
+    del packed_perlayer
     gc.collect()
     _log("packed model ready; timing quant decode (compiles on first run)")
 

@@ -37,8 +37,10 @@ def _kernel(idx_ref, k_ref, v_ref, cos_ref, sin_ref,
             kq_ref, vq_ref, ks_ref, vs_ref, *, rotary: bool):
     # aliased buffers appear as both in- and out-refs (same HBM): read the
     # block's OLD contents from the input ref, write the merged block to
-    # the output ref
-    pos = idx_ref[1]
+    # the output ref.  idx = [layer, pos_0 .. pos_{B-1}]: each batch row
+    # (grid step) writes its OWN position — per-slot continuous batching
+    # and the aligned decode compile to the same kernel
+    pos = idx_ref[1 + pl.program_id(0)]
     row = pos % 8
     lane = pos % 128
 
@@ -70,7 +72,8 @@ def _kernel(idx_ref, k_ref, v_ref, cos_ref, sin_ref,
 @functools.partial(jax.jit, static_argnames=("rotary", "interpret"))
 def write_quant_cache_stacked(
     layer_idx: jax.Array,   # scalar int32
-    pos: jax.Array,         # scalar int32 — aligned decode position
+    pos: jax.Array,         # () aligned decode position, or (B,) per-slot
+    #                         positions (continuous batching)
     k_new: jax.Array,       # (B, H_kv, D) — PRE-rotary keys
     v_new: jax.Array,       # (B, H_kv, D)
     cos: jax.Array,         # (B, 1, D) rotary tables for this position
@@ -87,8 +90,14 @@ def write_quant_cache_stacked(
     non-rotary archs (OPT/Bloom) — cos/sin are ignored."""
     b, h, d = k_new.shape
     l_num, _, _, s, _ = k_q.shape
-    idx = jnp.stack([jnp.asarray(layer_idx, jnp.int32).reshape(()),
-                     jnp.asarray(pos, jnp.int32).reshape(())])
+    # clamp like dynamic_update_slice: a finished slot in a continuous batch
+    # keeps decoding (full-batch step) and its position may run past the
+    # cache end — the clamped write lands on the last (masked) row
+    pos_rows = jnp.minimum(
+        jnp.broadcast_to(jnp.asarray(pos, jnp.int32).reshape(-1), (b,)),
+        s - 1)
+    idx = jnp.concatenate(
+        [jnp.asarray(layer_idx, jnp.int32).reshape(1), pos_rows])
 
     grid = (b,)
     new_spec = pl.BlockSpec((1, h, d), lambda bb, i: (bb, 0, 0),
@@ -96,10 +105,10 @@ def write_quant_cache_stacked(
     cs_spec = pl.BlockSpec((1, 1, d), lambda bb, i: (bb, 0, 0),
                            memory_space=pltpu.VMEM)
     q_spec = pl.BlockSpec((1, 1, h, 8, d),
-                          lambda bb, i: (i[0], bb, 0, i[1] // 8, 0),
+                          lambda bb, i: (i[0], bb, 0, i[1 + bb] // 8, 0),
                           memory_space=pltpu.VMEM)
     s_spec = pl.BlockSpec((1, 1, h, 128),
-                          lambda bb, i: (i[0], bb, 0, i[1] // 128),
+                          lambda bb, i: (i[0], bb, 0, i[1 + bb] // 128),
                           memory_space=pltpu.VMEM)
 
     outs = pl.pallas_call(

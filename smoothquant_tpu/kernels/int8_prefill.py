@@ -163,7 +163,8 @@ def _pick_tiles_rawx(n_pad: int, o_pad: int, k_pad: int, k_s: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("out_dtype", "tile_n", "tile_o", "tile_k", "interpret"),
+    static_argnames=("out_dtype", "tile_n", "tile_o", "tile_k", "interpret",
+                     "vmem_limit_mb"),
 )
 def int8_prefill_matmul(
     x_q: jax.Array,        # (N, K) int8 quantized acts — or RAW bf16/f32
@@ -183,6 +184,7 @@ def int8_prefill_matmul(
     tile_o: int = 0,
     tile_k: int = 0,
     interpret: bool = False,
+    vmem_limit_mb: int = 100,
 ) -> jax.Array:
     n, kk = x_q.shape
     o = w_qt.shape[1]
@@ -283,7 +285,7 @@ def int8_prefill_matmul(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
             # large-N prefill tiles exceed the 16 MB default scoped-vmem
             # limit; v5e has 128 MB VMEM — let the autotiler breathe
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=vmem_limit_mb * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * n_pad * o_pad * (k_pad + k_s),

@@ -529,7 +529,10 @@ def prefetch_tree_capable(stacked, ctx, caches, s: int) -> bool:
         return False
     if stacked is None or not isinstance(stacked, dict):
         return False
-    if caches.pos.ndim != 1:  # per-slot (L, B) positions unsupported here
+    if caches.pos.ndim not in (1, 2):
+        # (L,) aligned or (L, B) per-slot stacked positions; per-slot rides
+        # the same scan — the writer kernel takes (B,) positions and
+        # validity rides the per-row (B, S) decode bias
         return False
     sa = stacked.get("self_attn", stacked.get("self_attention", {}))
     qp = sa.get("qkv_proj", sa.get("query_key_value", sa.get("q_proj")))
@@ -569,30 +572,42 @@ def prefetch_tree_capable(stacked, ctx, caches, s: int) -> bool:
 def stacked_cache_append(cache, i, k_new, v_new):
     """Write one decode position's K/V into layer i of a STACKED cache at
     its current fill position.  k_new/v_new: (B, 1, H_kv, D) model layout.
-    Returns (cache, pos_i)."""
+    pos may be (L,) aligned or (L, B) per-slot (continuous batching) —
+    per-slot rows each land at their own position.  Returns (cache, pos_i)."""
     pos_i = cache.pos[i]
     k_hm = k_new.transpose(0, 2, 1, 3)   # (B, H_kv, 1, D)
     v_hm = v_new.transpose(0, 2, 1, 3)
+
+    def put4(buf, new):
+        # buf (L, B, H, S, D), new (B, H, 1, D)
+        if pos_i.ndim == 0:
+            return jax.lax.dynamic_update_slice(
+                buf, new[None].astype(buf.dtype), (i, 0, 0, pos_i, 0))
+        layer = jax.lax.dynamic_index_in_dim(buf, i, axis=0, keepdims=False)
+        layer = jax.vmap(lambda bl, nl, p: jax.lax.dynamic_update_slice(
+            bl, nl.astype(bl.dtype), (0, p, 0)))(layer, new, pos_i)
+        return jax.lax.dynamic_update_index_in_dim(buf, layer, i, axis=0)
+
+    def put3(buf, new):
+        # buf (L, B, H, S), new (B, H, 1)
+        if pos_i.ndim == 0:
+            return jax.lax.dynamic_update_slice(
+                buf, new[None].astype(buf.dtype), (i, 0, 0, pos_i))
+        layer = jax.lax.dynamic_index_in_dim(buf, i, axis=0, keepdims=False)
+        layer = jax.vmap(lambda bl, nl, p: jax.lax.dynamic_update_slice(
+            bl, nl.astype(bl.dtype), (0, p)))(layer, new, pos_i)
+        return jax.lax.dynamic_update_index_in_dim(buf, layer, i, axis=0)
+
     if isinstance(cache, QuantKVCache):
         kq, ks = QuantKVCache._quantize(k_hm)
         vq, vs = QuantKVCache._quantize(v_hm)
         cache = cache._replace(
-            k_q=jax.lax.dynamic_update_slice(
-                cache.k_q, kq[None], (i, 0, 0, pos_i, 0)),
-            v_q=jax.lax.dynamic_update_slice(
-                cache.v_q, vq[None], (i, 0, 0, pos_i, 0)),
-            k_scale=jax.lax.dynamic_update_slice(
-                cache.k_scale, ks[None], (i, 0, 0, pos_i)),
-            v_scale=jax.lax.dynamic_update_slice(
-                cache.v_scale, vs[None], (i, 0, 0, pos_i)),
+            k_q=put4(cache.k_q, kq), v_q=put4(cache.v_q, vq),
+            k_scale=put3(cache.k_scale, ks), v_scale=put3(cache.v_scale, vs),
         )
     else:
-        dt = cache.k.dtype
         cache = cache._replace(
-            k=jax.lax.dynamic_update_slice(
-                cache.k, k_hm[None].astype(dt), (i, 0, 0, pos_i, 0)),
-            v=jax.lax.dynamic_update_slice(
-                cache.v, v_hm[None].astype(dt), (i, 0, 0, pos_i, 0)),
+            k=put4(cache.k, k_hm), v=put4(cache.v, v_hm),
         )
     return cache, pos_i
 
@@ -628,9 +643,13 @@ def decode_bias(pos_i, b: int, s_max: int, attn_mask,
                 sliding_window: Optional[int] = None) -> jax.Array:
     """(B, S_max) additive f32 bias for single-token decode: 0 on valid key
     positions (< pos_i + 1, minus attn_mask holes, minus keys that fell out
-    of a sliding window), -inf elsewhere."""
+    of a sliding window), -inf elsewhere.  pos_i: () aligned or (B,)
+    per-slot positions."""
     from smoothquant_tpu.kernels import decode_attention as da
 
+    pos_i = jnp.asarray(pos_i)
+    if pos_i.ndim == 1:
+        pos_i = pos_i[:, None]
     col = jax.lax.broadcasted_iota(jnp.int32, (b, s_max), 1)
     ok = col < pos_i + 1
     if sliding_window is not None:

@@ -247,16 +247,21 @@ def stack_layers(params: dict, cfg: LlamaConfig) -> dict:
 
 
 def stacked_caches(cfg: LlamaConfig, batch: int, max_len: int, dtype,
-                   pos: int = 0, quant_kv: bool = False):
+                   pos: int = 0, quant_kv: bool = False,
+                   per_slot: bool = False):
     """A scan-ready KV cache: every field carries a leading layers axis.
 
     quant_kv=True builds the INT8 cache (half the HBM read per step; the
-    fused decode-attention kernel consumes the int8 bytes directly)."""
+    fused decode-attention kernel consumes the int8 bytes directly).
+    per_slot=True gives pos shape (L, B) — each batch slot tracks its own
+    fill position (continuous batching over the prefetch-scan path)."""
     from smoothquant_tpu.models.common import QuantKVCache
 
     shape = (cfg.num_hidden_layers, batch, cfg.num_key_value_heads, max_len,
              cfg.head_dim)
-    poss = jnp.full((cfg.num_hidden_layers,), pos, jnp.int32)
+    pos_shape = ((cfg.num_hidden_layers, batch) if per_slot
+                 else (cfg.num_hidden_layers,))
+    poss = jnp.full(pos_shape, pos, jnp.int32)
     if quant_kv:
         return QuantKVCache(
             k_q=jnp.zeros(shape, jnp.int8), v_q=jnp.zeros(shape, jnp.int8),
@@ -322,7 +327,11 @@ def _prefetch_scan_decode(params, x, cfg, ctx, caches, cos, sin, attn_mask):
     from smoothquant_tpu.models.common import QuantKVCache as _QKV
 
     attn_mode = ctx.fuse_attn if ctx is not None else "auto"
-    if not (isinstance(caches, _QKV) and attn_mask is None):
+    if not (isinstance(caches, _QKV) and attn_mask is None
+            and caches.pos.ndim == 1):
+        # the virtual-tile kernels take one aligned scalar position; masked
+        # or per-slot (L, B) decodes ride the writer+bias+flash path, whose
+        # validity is the per-row (B, S) bias
         attn_mode = "off"
     # (L, 1, C) stacked norm rows, reshaped ONCE outside the scan: the
     # in-body reshape forced a per-layer relayout copy of the whole stack

@@ -61,11 +61,34 @@ class ContinuousBatcher:
         self._n_kv = n_kv
 
         cache_cls = QuantKVCache if quant_kv else KVCache
-        self.caches = [
-            cache_cls.create(max_batch, max_len, n_kv, cfg.head_dim,
-                             self.kv_dtype, per_slot=True)
-            for _ in range(cfg.num_hidden_layers)
-        ]
+        # STACKED decode params (stack_layers / block_decode_tree trees)
+        # serve on the per-slot prefetch-scan path: ONE pooled cache with a
+        # leading layers axis and (L, B) per-slot positions, decoded by the
+        # same no-copy scalar-prefetch scan bench.py's aligned decode uses
+        # (~2.2x the per-layer fallback's step rate at batch 4).
+        self._stacked = "stacked" in params.get("layers", {})
+        self._prefill_stacked = "stacked" in self.prefill_params.get(
+            "layers", {})
+        n_layers = cfg.num_hidden_layers
+        if self._stacked:
+            shape = (n_layers, max_batch, n_kv, max_len, cfg.head_dim)
+            pos0 = jnp.zeros((n_layers, max_batch), jnp.int32)
+            if quant_kv:
+                self.caches = QuantKVCache(
+                    k_q=jnp.zeros(shape, jnp.int8),
+                    v_q=jnp.zeros(shape, jnp.int8),
+                    k_scale=jnp.zeros(shape[:4], jnp.float32),
+                    v_scale=jnp.zeros(shape[:4], jnp.float32), pos=pos0)
+            else:
+                self.caches = KVCache(k=jnp.zeros(shape, self.kv_dtype),
+                                      v=jnp.zeros(shape, self.kv_dtype),
+                                      pos=pos0)
+        else:
+            self.caches = [
+                cache_cls.create(max_batch, max_len, n_kv, cfg.head_dim,
+                                 self.kv_dtype, per_slot=True)
+                for _ in range(cfg.num_hidden_layers)
+            ]
         self.key_valid = np.zeros((max_batch, max_len), bool)
         self.seq_pos = np.zeros(max_batch, np.int32)   # true sequence lengths
         self.slot_req: list[Optional[Request]] = [None] * max_batch
@@ -87,18 +110,48 @@ class ContinuousBatcher:
                                  cfg.head_dim, self.kv_dtype)
                 for _ in range(cfg.num_hidden_layers)
             ]
+            if self._prefill_stacked:  # stacked tree expects a stacked cache
+                caches = jax.tree.map(lambda *xs: jnp.stack(xs), *caches)
             logits, caches = self.mod.forward(params, ids, cfg, ctx=self.ctx,
                                               caches=caches)
             idx = jnp.clip(lens - 1, 0, ids.shape[1] - 1)
             last = jnp.take_along_axis(
                 logits, idx[:, None, None], axis=1)[:, 0]
             first_tok = jnp.argmax(last, axis=-1).astype(jnp.int32)
+            if self._stacked and not self._prefill_stacked:
+                # per-layer prefill feeding the stacked pool: stack once
+                # here (on device, inside the jit)
+                caches = jax.tree.map(lambda *xs: jnp.stack(xs), *caches)
+            elif not self._stacked and self._prefill_stacked:
+                caches = [jax.tree.map(lambda a: a[i], caches)
+                          for i in range(cfg.num_hidden_layers)]
             return first_tok, caches
 
         @jax.jit
         def _scatter(caches, batch_caches, row, slot, new_pos):
             """Copy row `row` of a batched prefill cache into pool slot
             `slot` (row/slot/new_pos are traced scalars — one compile)."""
+            if self._stacked:
+                # stacked pool: fields (L, B, ...), prefill fields
+                # (L, rows, ...) — one dynamic_update_slice per field
+                new_fields = {}
+                for field in caches._fields:
+                    if field == "pos":
+                        new_fields["pos"] = caches.pos.at[:, slot].set(new_pos)
+                        continue
+                    buf = getattr(caches, field)
+                    full = getattr(batch_caches, field)
+                    r = jax.lax.dynamic_slice_in_dim(full, row, 1, axis=1)
+                    # crop prefill-bucket positions past max_len (bucket
+                    # padding, never attended to)
+                    for ax in range(2, r.ndim):
+                        if r.shape[ax] > buf.shape[ax]:
+                            r = jax.lax.slice_in_dim(
+                                r, 0, buf.shape[ax], axis=ax)
+                    start = (0, slot) + (0,) * (buf.ndim - 2)
+                    new_fields[field] = jax.lax.dynamic_update_slice(
+                        buf, r.astype(buf.dtype), start)
+                return type(caches)(**new_fields)
             out = []
             for c, rc in zip(caches, batch_caches):
                 new_fields = {}
@@ -154,7 +207,9 @@ class ContinuousBatcher:
         def _decode_k(params, tok, caches, positions, key_valid):
             def body(carry, _):
                 tok, caches, positions, key_valid = carry
-                cache_pos = jnp.asarray(caches[0].pos, jnp.int32)
+                cache_pos = jnp.asarray(
+                    caches.pos[0] if self._stacked else caches[0].pos,
+                    jnp.int32)
                 key_valid = key_valid.at[rows, cache_pos].set(True)
                 logits, caches = self.mod.forward(
                     params, tok[:, None], cfg, ctx=self.ctx, caches=caches,
@@ -255,7 +310,8 @@ class ContinuousBatcher:
         for s in active:
             tok[s] = self.slot_req[s].generated[-1]
         # mark the incoming token's cache position valid for every active slot
-        cache_pos = np.asarray(self.caches[0].pos)
+        cache_pos = np.asarray(self.caches.pos[0] if self._stacked
+                               else self.caches[0].pos)
         for s in active:
             self.key_valid[s, cache_pos[s]] = True
 
