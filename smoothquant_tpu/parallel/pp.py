@@ -16,10 +16,15 @@ computes microbatch (t - s) when 0 <= t-s < M and garbage otherwise
 replicated for program uniformity — per-layer weights dominate memory at
 depth; a production deployment would fold them into stage 0 / stage pp-1.
 
-Prefill-only (no KV cache threading): the pipeline's unit of work is a
-full-sequence forward, the same unit the reference evaluates.  Compatible
-with packed (real-kernel) params — stage weights are PackedLinears and
-run the Pallas int4/int8 path per stage.
+Prefill (make_pp_forward) pipelines full-sequence microbatches — the same
+unit the reference evaluates.  Decode (make_pp_decode, VERDICT r4 #7)
+threads PER-STAGE KV caches through the tick loop: each device owns the
+caches of its own layers (the dominant decode state, sharded with the
+stage weights), a single-token step flows stage-to-stage over pp ticks
+(microbatch = 1 — no intra-step overlap, correctness-first v1), and
+inactive stages keep their caches via a masked select.  Compatible with
+packed (real-kernel) params — stage weights are PackedLinears and run
+the Pallas int4/int8 path per stage.
 """
 
 from __future__ import annotations
@@ -251,5 +256,140 @@ def make_pp_forward(mod, cfg, mesh: Mesh, *, microbatches: int = 0,
             return jax.lax.psum(logits.astype(jnp.float32), PP_AXIS)
 
         return fwd
+
+    return build
+
+
+def make_pp_decode(mod, cfg, mesh: Mesh, *, compute: str = "auto",
+                   interpret: bool = False, quant=None,
+                   quant_kv: bool = False):
+    """Cached single-token decode under pipeline parallelism (v1 edges).
+
+    Returns build(staged_params) -> (init_caches, step) where
+      init_caches(batch, max_len) -> per-stage stacked cache pytree, every
+        field shaped (pp, L/pp, B, ...) and sharded P(pp) — each device
+        holds ONLY its own layers' cache (the decode state shards with the
+        stage weights, replacing the reference's device_map memory spill,
+        SURVEY.md §2.9);
+      step(staged, caches, tok) -> (logits (B, V) f32, caches) — one greedy
+        decode step: the activation hops stage-to-stage via ppermute over
+        pp ticks; stage s's layers run (and its caches update) only on its
+        tick, other ticks are masked out.
+
+    Prime the cache by feeding prompt tokens one at a time (teacher
+    forcing); microbatch = 1 means no intra-step overlap — PP decode
+    trades latency for memory capacity, its reason to exist.
+    """
+    from smoothquant_tpu.models.common import (ForwardContext, KVCache,
+                                               QuantKVCache, rms_norm,
+                                               rotary_cos_sin, unembed)
+
+    pp = mesh.shape[PP_AXIS]
+    per = cfg.num_hidden_layers // pp
+    n_kv = getattr(cfg, "num_key_value_heads", cfg.num_attention_heads)
+    cache_cls = QuantKVCache if quant_kv else KVCache
+
+    def init_caches(batch: int, max_len: int, dtype=None):
+        dtype = jnp.dtype(dtype or cfg.dtype)
+        one = cache_cls.create(batch, max_len, n_kv, cfg.head_dim, dtype)
+        return jax.tree.map(
+            lambda a: jnp.broadcast_to(
+                a[None, None], (pp, per) + a.shape).astype(a.dtype)
+            if a.ndim else jnp.zeros((pp, per), a.dtype), one)
+
+    def build(staged):
+        if staged["embed_tokens"]["weight"].ndim == 3:
+            raise ValueError("make_pp_decode supports v1 (replicated-edge) "
+                             "staging only; use stack_pp_stages")
+        p_specs = {
+            k: (jax.tree.map(lambda a: P(PP_AXIS), v) if k == "stages"
+                else jax.tree.map(lambda a: P(), v))
+            for k, v in staged.items()
+        }
+        ctx = ForwardContext(quant=quant, compute=compute,
+                             interpret=interpret)
+        perm = [(i, (i + 1) % pp) for i in range(pp)]
+
+        def cache_specs(caches):
+            return jax.tree.map(lambda a: P(PP_AXIS), caches)
+
+        _built = {}
+
+        def step(staged_params, caches, tok):
+            """tok: (B,) int32 — the incoming token for every sequence."""
+            if "fn" not in _built:
+                _built["fn"] = _make_step(cache_specs(caches))
+            return _built["fn"](staged_params, caches, tok)
+
+        def _make_step(c_specs):
+            @jax.jit
+            @functools.partial(
+                shard_map, mesh=mesh,
+                in_specs=(p_specs, c_specs, P(None)),
+                out_specs=(P(None, None), c_specs),
+                check_vma=False,
+            )
+            def _step(local, local_caches, tok):
+                s_idx = jax.lax.axis_index(PP_AXIS)
+                b = tok.shape[0]
+                # drop the leading per-device pp axis (size 1 under shard_map)
+                stage_layers = jax.tree.map(lambda a: a[0], local["stages"])
+                my_caches = jax.tree.map(lambda a: a[0], local_caches)
+                pos = my_caches.pos[0]       # all layers aligned
+                x0 = jnp.take(local["embed_tokens"]["weight"], tok[:, None],
+                              axis=0)
+                positions = jnp.full((b, 1), pos, jnp.int32)
+                cos, sin = rotary_cos_sin(positions, cfg.head_dim,
+                                          cfg.rope_theta)
+
+                def run_stage(x, stage_caches):
+                    def body(carry, layer_in):
+                        lp, cache = layer_in
+                        y, cache = mod._decoder_layer(
+                            lp, carry, cfg, "model.layers.pp", cos, sin,
+                            ctx, cache, None)
+                        return y, cache
+
+                    return jax.lax.scan(body, x, (stage_layers,
+                                                  stage_caches))
+
+                def tick(h, carry):
+                    x_prev, caches_c = carry
+                    x_in = jax.lax.ppermute(x_prev, PP_AXIS, perm)
+                    x = jnp.where(jnp.logical_and(s_idx == 0, h == 0),
+                                  x0, x_in)
+                    active = s_idx == h
+                    y, new_caches = run_stage(x, caches_c)
+                    caches_c = jax.tree.map(
+                        lambda n, o: jnp.where(active, n, o),
+                        new_caches, caches_c)
+                    return jnp.where(active, y, x_in), caches_c
+
+                x_fin, my_caches = jax.lax.fori_loop(
+                    0, pp, tick, (x0, my_caches))
+
+                # broadcast stage pp-1's hidden state; v1 replicated edges
+                hs = jax.lax.psum(
+                    jnp.where(s_idx == pp - 1, x_fin, 0.0)
+                    .astype(jnp.float32), PP_AXIS).astype(x_fin.dtype)
+                hs = rms_norm(local["norm"], hs, cfg.rms_norm_eps)
+                lm = local.get("lm_head")
+                if cfg.tie_word_embeddings or lm is None:
+                    logits = unembed(hs, local["embed_tokens"]["weight"])
+                elif isinstance(lm, dict):
+                    logits = unembed(hs, lm["weight"])
+                else:  # PackedLinear lm_head
+                    from smoothquant_tpu.kernels.real_linear import (
+                        real_quant_linear,
+                    )
+
+                    logits = real_quant_linear(lm, hs, interpret=interpret,
+                                               out_dtype=jnp.float32)
+                out_caches = jax.tree.map(lambda a: a[None], my_caches)
+                return logits[:, 0].astype(jnp.float32), out_caches
+
+            return _step
+
+        return init_caches, step
 
     return build
