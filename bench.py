@@ -311,15 +311,10 @@ def main() -> None:
     # ---------------- packed model, full depth, built layer-by-layer -------
     cfg = cfg_at(FULL_LAYERS)
     key = jax.random.PRNGKey(2)
-    _log("building + packing full-depth model (layer by layer)")
+
     def fuse(*lins):
         return {"weight": jnp.concatenate([l["weight"] for l in lins], 0),
                 "bias": None}
-
-    def pk(lin, imp, absmax=None):
-        # tile-aligned packs: required by the prefetch-scan kernels
-        return pack_linear(lin, qcfg, importance=imp, act_absmax=absmax,
-                           nibble=True, align_k_groups=8, align_o=2048)
 
     def mark_prep(p):
         import dataclasses as dc
@@ -333,57 +328,70 @@ def main() -> None:
     # (pack_model(shared_residual_basis=True) is the library path; tested
     # for exact logits parity in tests/test_shared_basis.py)
     shared_imp = rng.uniform(0.1, 1.0, size=(h_dim,))
-    shared_perm = None
-    layers = {}
-    for i in range(cfg.num_hidden_layers):
-        lp = llama.init_layer_params(jax.random.fold_in(key, i), cfg)
-        sa, mlp = lp["self_attn"], lp["mlp"]
-        # fused q/k/v and gate/up: one kernel launch + one activation
-        # quantize chain per fusion (inputs — and so calibration stats and
-        # packing layout — are shared)
-        qkv = mark_prep(pk(fuse(sa["q_proj"], sa["k_proj"], sa["v_proj"]),
-                           shared_imp, shared_imp))
-        if shared_perm is None:
-            shared_perm = np.asarray(qkv.perm)
-        # identity layout for o_proj: its input (attention output) cannot
-        # arrive pre-permuted, and the full-width activation gather cost
-        # ~8 us/layer (profiled); identity packing removes it
-        op = permute_output_columns(
-            pack_linear({"weight": sa["o_proj"]["weight"],
-                         "bias": sa["o_proj"].get("bias")},
-                        qcfg, importance=rng.uniform(0.1, 1.0,
-                                                     size=(h_dim,)),
-                        nibble=True, identity=True, align_k_groups=8,
-                        align_o=2048),
-            shared_perm)
-        lp["self_attn"] = {"qkv_proj": qkv, "o_proj": op}
-        # fold down_proj's input perm into gate/up output rows: the widest
-        # (11k-channel) activation gather becomes a load-time relayout
-        dp = pk(mlp["down_proj"], rng.uniform(0.1, 1.0, size=(i_dim,)))
-        dp, gu_lin = fold_input_perm(
-            dp, fuse(mlp["gate_proj"], mlp["up_proj"]), n_splits=2)
-        lp["mlp"] = {
-            "gate_up_proj": mark_prep(pk(gu_lin, shared_imp, shared_imp)),
-            "down_proj": permute_output_columns(dp, shared_perm),
+
+    def build_packed(recipe):
+        """Per-layer packed tree for `recipe` (the scan-decode layout)."""
+        def pk(lin, imp, absmax=None):
+            # tile-aligned packs: required by the prefetch-scan kernels
+            return pack_linear(lin, recipe, importance=imp,
+                               act_absmax=absmax, nibble=True,
+                               align_k_groups=8, align_o=2048)
+
+        shared_perm = None
+        layers = {}
+        for i in range(cfg.num_hidden_layers):
+            lp = llama.init_layer_params(jax.random.fold_in(key, i), cfg)
+            sa, mlp = lp["self_attn"], lp["mlp"]
+            # fused q/k/v and gate/up: one kernel launch + one activation
+            # quantize chain per fusion (inputs — and so calibration stats
+            # and packing layout — are shared)
+            qkv = mark_prep(pk(fuse(sa["q_proj"], sa["k_proj"],
+                                    sa["v_proj"]), shared_imp, shared_imp))
+            if shared_perm is None:
+                shared_perm = np.asarray(qkv.perm)
+            # identity layout for o_proj: its input (attention output)
+            # cannot arrive pre-permuted, and the full-width activation
+            # gather cost ~8 us/layer (profiled); identity packing removes it
+            op = permute_output_columns(
+                pack_linear({"weight": sa["o_proj"]["weight"],
+                             "bias": sa["o_proj"].get("bias")},
+                            recipe, importance=rng.uniform(0.1, 1.0,
+                                                           size=(h_dim,)),
+                            nibble=True, identity=True, align_k_groups=8,
+                            align_o=2048),
+                shared_perm)
+            lp["self_attn"] = {"qkv_proj": qkv, "o_proj": op}
+            # fold down_proj's input perm into gate/up output rows: the
+            # widest (11k-channel) activation gather becomes a load-time
+            # relayout
+            dp = pk(mlp["down_proj"], rng.uniform(0.1, 1.0, size=(i_dim,)))
+            dp, gu_lin = fold_input_perm(
+                dp, fuse(mlp["gate_proj"], mlp["up_proj"]), n_splits=2)
+            lp["mlp"] = {
+                "gate_up_proj": mark_prep(pk(gu_lin, shared_imp,
+                                             shared_imp)),
+                "down_proj": permute_output_columns(dp, shared_perm),
+            }
+            layers[str(i)] = lp
+            if i % 8 == 7:
+                _log(f"  packed {i + 1}/{cfg.num_hidden_layers} layers")
+        h = cfg.hidden_size
+        take = jnp.asarray(shared_perm)
+        lm_head = llama._init_lin(jax.random.fold_in(key, 1000),
+                                  cfg.vocab_size, h, False, jnp.bfloat16)
+        lm_head = {"weight": jnp.take(lm_head["weight"], take, axis=1),
+                   "bias": None}
+        return {
+            "embed_tokens": {"weight": jnp.take(jax.random.normal(
+                jax.random.fold_in(key, 1001), (cfg.vocab_size, h),
+                jnp.bfloat16) * 0.02, take, axis=1)},
+            "layers": layers,
+            "norm": {"weight": jnp.ones((h,), jnp.bfloat16)},
+            "lm_head": pack_linear(lm_head, head_qcfg),
         }
-        layers[str(i)] = lp
-        if i % 8 == 7:
-            _log(f"  packed {i + 1}/{cfg.num_hidden_layers} layers")
-    h = cfg.hidden_size
-    take = jnp.asarray(shared_perm)
-    lm_head = llama._init_lin(jax.random.fold_in(key, 1000), cfg.vocab_size,
-                              h, False, jnp.bfloat16)
-    lm_head = {"weight": jnp.take(lm_head["weight"], take, axis=1),
-               "bias": None}
-    packed = {
-        "embed_tokens": {"weight": jnp.take(jax.random.normal(
-            jax.random.fold_in(key, 1001), (cfg.vocab_size, h),
-            jnp.bfloat16) * 0.02, take, axis=1)},
-        "layers": layers,
-        "norm": {"weight": jnp.ones((h,), jnp.bfloat16)},
-        "lm_head": pack_linear(lm_head, head_qcfg),
-    }
-    del lm_head, layers
+
+    _log("building + packing full-depth model (layer by layer)")
+    packed = build_packed(qcfg)
 
     # ---------------- stack + block the decode tree ------------------------
     packed_perlayer = packed
@@ -503,12 +511,60 @@ def main() -> None:
     achieved_bw = total_bytes / t_q
     bound_s = total_bytes / chip.hbm_bw
     # bf16 equivalent traffic, for context
-    bf16_layer_bytes = 2 * (4 * h * h + 3 * h * cfg.intermediate_size)
-    bf16_bytes = (FULL_LAYERS * bf16_layer_bytes + 2 * cfg.vocab_size * h
+    h_sz = cfg.hidden_size
+    bf16_layer_bytes = 2 * (4 * h_sz * h_sz + 3 * h_sz * cfg.intermediate_size)
+    bf16_bytes = (FULL_LAYERS * bf16_layer_bytes + 2 * cfg.vocab_size * h_sz
                   + kv_bytes)
 
     tokens_per_s = BATCH / t_q
     vs_baseline = t_bf_est / t_q
+
+    # ---------------- W4A8 g128 row (VERDICT r4 #4) ------------------------
+    # the OTHER named north-star config: same int4 nibble weights, 8-bit
+    # grouped activations at g=128 — full-depth scan decode + prefill micro
+    w4a8_detail = {}
+    if not _TINY:
+        from smoothquant_tpu.quant import w4a8_group
+
+        qcfg8 = _dc.replace(w4a8_group(group_size=128, salient_prop=0.05),
+                            scale_dtype="bfloat16")
+        del packed
+        gc.collect()
+        _log("building W4A8 g128 tree (layer by layer)")
+        packed8 = llama.stack_layers(build_packed(qcfg8), cfg)
+        from smoothquant_tpu.kernels.pack import block_decode_tree as _bdt
+
+        packed8 = _bdt(packed8)
+        gc.collect()
+        ctx8 = ForwardContext(quant=qcfg8, compute="int")
+        _log("timing W4A8 decode (compiles on first run)")
+        t_q8 = time_steps(make_step(cfg, ctx8), (tok, packed8, caches),
+                          iters=32, repeats=5, stateful=True)
+        _log(f"W4A8 g128 decode {t_q8*1e3:.2f} ms/step at {FULL_LAYERS}L")
+
+        # W4A8 prefill micro: nibble int path at (1024, 4096->11008)
+        w8 = jax.random.normal(jax.random.PRNGKey(7), (op_, kp),
+                               jnp.bfloat16) * 0.02
+        x8 = jax.random.normal(jax.random.PRNGKey(8), (n_pf, kp),
+                               jnp.bfloat16)
+        pk8 = pack_linear({"weight": w8, "bias": None}, qcfg8,
+                          importance=rng.uniform(0.1, 1.0, size=(kp,)),
+                          nibble=True)
+
+        def q8_prefill(x, p):
+            return real_quant_linear(p, x, compute="int")
+
+        t_pf8 = time_steps(q8_prefill, (x8, pk8), iters=64, repeats=7)
+        _log(f"W4A8 prefill micro {t_pf8*1e3:.3f} ms "
+             f"({t_pf_bf/t_pf8:.2f}x bf16)")
+        w4a8_detail = {
+            "w4a8_decode_ms": round(t_q8 * 1e3, 3),
+            "w4a8_tokens_per_s": round(BATCH / t_q8, 1),
+            "w4a8_prefill_ms": round(t_pf8 * 1e3, 3),
+            "w4a8_prefill_vs_bf16": round(t_pf_bf / t_pf8, 3),
+        }
+        del packed8, w8, x8, pk8
+        gc.collect()
 
     # ---------------- simulated 2-host scaling efficiency ------------------
     # the real ClusterFrontend routing + real admission policy over virtual
@@ -516,19 +572,38 @@ def main() -> None:
     # — labeled simulation: validates scheduling under load skew, not DCN.
     from smoothquant_tpu.serve.sim import (
         CostModel,
+        bursty_trace,
         scaling_efficiency,
         skewed_trace,
+        uniform_trace,
     )
 
     sim_cost = CostModel(
         decode_step_s=t_q,
         prefill_s_per_token=1.0 / max(prefill_tokens_per_s, 1.0),
         prefill_base_s=5e-4)
-    sim = scaling_efficiency(
-        skewed_trace(64, seed=0, max_len=CACHE), sim_cost, 2,
-        max_batch=BATCH, max_len=CACHE)
-    _log(f"simulated 2-host scaling efficiency {sim['scaling_efficiency']:.3f}"
-         f" (skewed 64-request trace)")
+    # trace sensitivity (VERDICT r4 #8): three arrival shapes x {2, 4}
+    # hosts, each with the loss attributed to routing imbalance vs
+    # admission occupancy
+    sim_grid = {}
+    sim = None
+    for tname, tgen in (("uniform", uniform_trace),
+                        ("skewed", skewed_trace),
+                        ("bursty", bursty_trace)):
+        for hosts in (2, 4):
+            r = scaling_efficiency(tgen(64, seed=0, max_len=CACHE),
+                                   sim_cost, hosts,
+                                   max_batch=BATCH, max_len=CACHE)
+            sim_grid[f"{tname}_{hosts}h"] = {
+                "efficiency": round(r["scaling_efficiency"], 4),
+                "routing_imbalance": round(r["routing_imbalance"], 4),
+                "admission_occupancy": round(r["admission_occupancy"], 4),
+            }
+            if tname == "skewed" and hosts == 2:
+                sim = r
+    sim_min = min(v["efficiency"] for v in sim_grid.values())
+    _log("simulated scaling efficiency: " + ", ".join(
+        f"{k}={v['efficiency']:.3f}" for k, v in sim_grid.items()))
 
     print(json.dumps({
         "metric": ("llama2-7B-dim W4A4 g64 5%-salient nibble-packed decode "
@@ -556,10 +631,14 @@ def main() -> None:
             "prefill_vs_bf16": round(t_pf_bf / t_pf_q, 3),
             "prefill_full_ms": round(t_pf_full * 1e3, 2),
             "prefill_tokens_per_s": round(prefill_tokens_per_s, 0),
-            "scaling_efficiency_sim": round(sim["scaling_efficiency"], 4),
+            "scaling_efficiency_sim": sim_grid,
+            "scaling_efficiency_sim_min": round(sim_min, 4),
+            "scaling_efficiency_sim_2h_skewed": round(
+                sim["scaling_efficiency"], 4),
             "sim_makespan_1host_s": round(sim["one_host"]["makespan_s"], 3),
             "sim_makespan_2host_s": round(sim["n_host"]["makespan_s"], 3),
             **serving,
+            **w4a8_detail,
             "chip": chip.name,
             "batch": BATCH, "cache_len": CACHE, "layers": FULL_LAYERS,
         },

@@ -64,6 +64,10 @@ class SimBatcher(ContinuousBatcher):
         self._steps = 0
         self.prefill_params = None
         self.params = None
+        # loss-attribution counters: slot occupancy measures admission
+        # batching quality (empty slots during decode steps)
+        self._active_slot_steps = 0
+        self._slot_steps = 0
 
         class _Caches:
             pos = np.zeros(max_batch, np.int64)
@@ -91,6 +95,8 @@ class SimBatcher(ContinuousBatcher):
             return []
         self.clock += self.cost.decode_step_s
         self._steps += 1
+        self._active_slot_steps += len(active)
+        self._slot_steps += self.max_batch
         finished = []
         for s in active:
             self.seq_pos[s] += 1
@@ -112,6 +118,43 @@ def skewed_trace(n_requests: int, seed: int = 0, *, max_len: int = 512,
         t += float(rng.exponential(mean_arrival_s))
         p_len = int(np.clip(rng.lognormal(3.5, 1.0), 4, max_len // 2))
         m_new = int(np.clip(rng.lognormal(3.0, 0.8), 4, max_len // 2))
+        m_new = min(m_new, max_len - p_len)
+        prompt = rng.integers(1, 100, size=(p_len,)).astype(np.int32)
+        out.append(Arrival(t, Request(uid=i, prompt=prompt,
+                                      max_new_tokens=m_new)))
+    return out
+
+
+def uniform_trace(n_requests: int, seed: int = 0, *, max_len: int = 512,
+                  gap_s: float = 0.005) -> list[Arrival]:
+    """Constant arrival gaps, narrow length spread — the easy case; a
+    scheduler below ~1.0 here is losing to its own admission policy, not to
+    load skew."""
+    rng = np.random.default_rng(seed)
+    out = []
+    lo_p, hi_p = max(4, max_len // 8), max(6, max_len // 4)
+    lo_m, hi_m = max(2, max_len // 16), max(4, max_len // 8)
+    for i in range(n_requests):
+        p_len = int(rng.integers(lo_p, hi_p))
+        m_new = min(int(rng.integers(lo_m, hi_m)), max_len - p_len)
+        prompt = rng.integers(1, 100, size=(p_len,)).astype(np.int32)
+        out.append(Arrival(gap_s * (i + 1),
+                           Request(uid=i, prompt=prompt,
+                                   max_new_tokens=m_new)))
+    return out
+
+
+def bursty_trace(n_requests: int, seed: int = 0, *, max_len: int = 512,
+                 burst: int = 8, gap_s: float = 0.08) -> list[Arrival]:
+    """On/off bursts: `burst` simultaneous arrivals separated by idle gaps
+    — stresses routing (a whole burst must spread across hosts) and
+    admission batching (bucket grouping inside a burst)."""
+    rng = np.random.default_rng(seed)
+    out = []
+    for i in range(n_requests):
+        t = gap_s * (i // burst + 1)
+        p_len = int(np.clip(rng.lognormal(3.8, 0.7), 8, max_len // 2))
+        m_new = int(np.clip(rng.lognormal(3.2, 0.6), 8, max_len // 2))
         m_new = min(m_new, max_len - p_len)
         prompt = rng.integers(1, 100, size=(p_len,)).astype(np.int32)
         out.append(Arrival(t, Request(uid=i, prompt=prompt,
@@ -146,12 +189,21 @@ def simulate_cluster(n_hosts: int, trace: list[Arrival], cost: CostModel,
     makespan = max(rep.batcher.clock for rep in front.replicas)
     tokens = sum(len(r.generated) for r in requests)
     assert all(r.done for r in requests)
+    busy = [rep.batcher.clock for rep in front.replicas]
+    occ = [rep.batcher._active_slot_steps / max(rep.batcher._slot_steps, 1)
+           for rep in front.replicas]
     return {
         "n_hosts": n_hosts,
         "tokens": tokens,
         "makespan_s": makespan,
         "tokens_per_s": tokens / makespan if makespan else 0.0,
-        "per_host_busy_s": [rep.batcher.clock for rep in front.replicas],
+        "per_host_busy_s": busy,
+        # loss attribution: routing imbalance = fraction of the makespan the
+        # AVERAGE host sits idle behind the slowest; admission occupancy =
+        # filled-slot fraction during decode steps (batching quality)
+        "routing_imbalance": 1.0 - (sum(busy) / len(busy)) / max(busy)
+        if max(busy) else 0.0,
+        "admission_occupancy": sum(occ) / len(occ),
     }
 
 
@@ -162,7 +214,9 @@ def scaling_efficiency(trace: list[Arrival], cost: CostModel, n_hosts: int,
     many = simulate_cluster(n_hosts, _clone_trace(trace), cost, **kw)
     eff = many["tokens_per_s"] / (n_hosts * one["tokens_per_s"])
     return {"one_host": one, "n_host": many, "n_hosts": n_hosts,
-            "scaling_efficiency": eff}
+            "scaling_efficiency": eff,
+            "routing_imbalance": many["routing_imbalance"],
+            "admission_occupancy": many["admission_occupancy"]}
 
 
 def _clone_trace(trace: list[Arrival]) -> list[Arrival]:
