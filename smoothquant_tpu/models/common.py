@@ -350,6 +350,86 @@ class QuantKVCache(NamedTuple):
         return k.astype(jnp.bfloat16), v.astype(jnp.bfloat16)
 
 
+class SMajorQuantKVCache(NamedTuple):
+    """INT8 KV cache in S-MAJOR value layout: k_q/v_q (B, S, H_kv*D) — one
+    cache row holds every head's vector for one position — with HEAD-major
+    scales (B, H_kv, S).  This is the layout the batched-head decode
+    attention kernel (kernels/attn_smajor.py) streams: 8 real query heads
+    share one dot and one softmax, where the head-major layout issued one
+    per head (VERDICT r4 round-5 demand #2).  Stacked (scan) form carries a
+    leading L axis on every field.
+
+    Numerics are identical to QuantKVCache (same per-(position, head)
+    symmetric absmax int8); only the byte layout differs.
+    """
+
+    k_q: jax.Array       # (B, S, H_kv*D) int8
+    v_q: jax.Array
+    k_scale: jax.Array   # (B, H_kv, S) f32
+    v_scale: jax.Array
+    pos: jax.Array       # () or (B,) int32
+
+    @classmethod
+    def create(cls, batch: int, max_len: int, n_kv_heads: int, head_dim: int,
+               dtype=None, per_slot: bool = False):
+        del dtype
+        pos = jnp.zeros((batch,) if per_slot else (), jnp.int32)
+        return cls(
+            k_q=jnp.zeros((batch, max_len, n_kv_heads * head_dim), jnp.int8),
+            v_q=jnp.zeros((batch, max_len, n_kv_heads * head_dim), jnp.int8),
+            k_scale=jnp.zeros((batch, n_kv_heads, max_len), jnp.float32),
+            v_scale=jnp.zeros((batch, n_kv_heads, max_len), jnp.float32),
+            pos=pos,
+        )
+
+    @property
+    def n_kv_heads(self) -> int:
+        return self.k_scale.shape[-2]
+
+    def update(self, k_new: jax.Array, v_new: jax.Array) -> "SMajorQuantKVCache":
+        """Append k/v (B, Sq, H, D) at self.pos (jnp path — prefill and CPU
+        fallbacks; the decode scan uses the fused Pallas writer)."""
+        b, sq, h, d = k_new.shape
+        kq, ks = QuantKVCache._quantize(k_new)   # (B, Sq, H, D) -> per-head
+        vq, vs = QuantKVCache._quantize(v_new)
+        kq = kq.reshape(b, sq, h * d)
+        vq = vq.reshape(b, sq, h * d)
+        ks = ks.transpose(0, 2, 1)               # (B, H, Sq)
+        vs = vs.transpose(0, 2, 1)
+        if self.pos.ndim == 0:
+            out = self._replace(
+                k_q=jax.lax.dynamic_update_slice(self.k_q, kq, (0, self.pos, 0)),
+                v_q=jax.lax.dynamic_update_slice(self.v_q, vq, (0, self.pos, 0)),
+                k_scale=jax.lax.dynamic_update_slice(
+                    self.k_scale, ks, (0, 0, self.pos)),
+                v_scale=jax.lax.dynamic_update_slice(
+                    self.v_scale, vs, (0, 0, self.pos)),
+                pos=self.pos + sq)
+        else:
+            u_v = jax.vmap(lambda buf, new, p: jax.lax.dynamic_update_slice(
+                buf, new, (p, 0)))
+            u_s = jax.vmap(lambda buf, new, p: jax.lax.dynamic_update_slice(
+                buf, new, (0, p)))
+            out = self._replace(
+                k_q=u_v(self.k_q, kq, self.pos),
+                v_q=u_v(self.v_q, vq, self.pos),
+                k_scale=u_s(self.k_scale, ks, self.pos),
+                v_scale=u_s(self.v_scale, vs, self.pos),
+                pos=self.pos + sq)
+        return out
+
+    def read(self) -> tuple[jax.Array, jax.Array]:
+        """(B, H, S, D) dequantized views (einsum fallback path)."""
+        b, s, hd = self.k_q.shape
+        h = self.n_kv_heads
+        d = hd // h
+        k = self.k_q.reshape(b, s, h, d).transpose(0, 2, 1, 3)
+        v = self.v_q.reshape(b, s, h, d).transpose(0, 2, 1, 3)
+        k = k.astype(jnp.float32) * self.k_scale[..., None]
+        v = v.astype(jnp.float32) * self.v_scale[..., None]
+        return k.astype(jnp.bfloat16), v.astype(jnp.bfloat16)
+
+
 def attention(
     q: jax.Array,
     k: jax.Array,
@@ -450,6 +530,14 @@ def cached_attention(
     (tests assert parity).
     """
     from smoothquant_tpu.kernels import decode_attention as da
+
+    if isinstance(cache, SMajorQuantKVCache):
+        # non-scan call sites (prefill, CPU fallback): einsum over the
+        # dequantized view; the decode scan reaches the S-major kernel via
+        # stacked_smajor_attention
+        return attention(q, *cache.read(), causal_offset=causal_offset,
+                         valid_len=cache.pos, scale=scale,
+                         attn_mask=attn_mask, sliding_window=sliding_window)
 
     b, sq, nh, d = q.shape
     quant = isinstance(cache, QuantKVCache)
@@ -619,6 +707,21 @@ def stacked_cache_append_fused(cache, i, k_new, v_new, cos, sin, ctx,
     (the XLA chain was ~17 us/layer of serialized tiny ops).  k_new/v_new:
     (B, 1, H_kv, D) model layout, k PRE-rotary when rotate_k.  Falls back
     to apply_rotary + stacked_cache_append for fp caches."""
+    if isinstance(cache, SMajorQuantKVCache):
+        from smoothquant_tpu.kernels.attn_smajor import (
+            write_quant_cache_smajor,
+        )
+
+        b, s1, h, d = k_new.shape
+        if cos is None:
+            cos = sin = jnp.zeros((b, 1, d), jnp.float32)
+        pos_i = cache.pos[i]
+        interp = bool(ctx is not None and ctx.interpret)
+        kq, vq, ks, vs = write_quant_cache_smajor(
+            i, pos_i, k_new.reshape(b, h, d), v_new.reshape(b, h, d),
+            cos, sin, cache.k_q, cache.v_q, cache.k_scale, cache.v_scale,
+            rotary=rotate_k, interpret=interp)
+        return cache._replace(k_q=kq, v_q=vq, k_scale=ks, v_scale=vs), pos_i
     if isinstance(cache, QuantKVCache):
         from smoothquant_tpu.kernels.cache_write import (
             write_quant_cache_stacked,
@@ -658,6 +761,22 @@ def decode_bias(pos_i, b: int, s_max: int, attn_mask,
     if attn_mask is not None:
         ok = jnp.logical_and(ok, attn_mask.astype(bool))
     return jnp.where(ok, 0.0, da.NEG_INF).astype(jnp.float32)
+
+
+def stacked_smajor_attention(cache, i, q_bhd, bias, ctx, sm_scale=None):
+    """Layer-i decode attention over a stacked S-MAJOR int8 cache via the
+    batched-head kernel (kernels/attn_smajor.py).  q_bhd: (B, H, D) POST-
+    rotary; returns (B, H, D)."""
+    from smoothquant_tpu.kernels.attn_smajor import (
+        decode_attention_smajor_stacked,
+    )
+
+    idx = jnp.asarray(i, jnp.int32).reshape(1)
+    interp = bool(ctx is not None and ctx.interpret)
+    return decode_attention_smajor_stacked(
+        idx, q_bhd, cache.k_q, cache.v_q, bias,
+        cache.k_scale, cache.v_scale,
+        sm_scale=sm_scale, interpret=interp)
 
 
 def stacked_flash_attention(cache, i, q_bhd, bias, ctx, sm_scale=None,

@@ -248,20 +248,32 @@ def stack_layers(params: dict, cfg: LlamaConfig) -> dict:
 
 def stacked_caches(cfg: LlamaConfig, batch: int, max_len: int, dtype,
                    pos: int = 0, quant_kv: bool = False,
-                   per_slot: bool = False):
+                   per_slot: bool = False, smajor: bool = False):
     """A scan-ready KV cache: every field carries a leading layers axis.
 
     quant_kv=True builds the INT8 cache (half the HBM read per step; the
     fused decode-attention kernel consumes the int8 bytes directly).
     per_slot=True gives pos shape (L, B) — each batch slot tracks its own
-    fill position (continuous batching over the prefetch-scan path)."""
-    from smoothquant_tpu.models.common import QuantKVCache
+    fill position (continuous batching over the prefetch-scan path).
+    smajor=True (int8 only) uses the S-major value layout consumed by the
+    batched-head attention kernel (kernels/attn_smajor.py)."""
+    from smoothquant_tpu.models.common import (QuantKVCache,
+                                               SMajorQuantKVCache)
 
-    shape = (cfg.num_hidden_layers, batch, cfg.num_key_value_heads, max_len,
-             cfg.head_dim)
-    pos_shape = ((cfg.num_hidden_layers, batch) if per_slot
-                 else (cfg.num_hidden_layers,))
+    n_layers = cfg.num_hidden_layers
+    pos_shape = (n_layers, batch) if per_slot else (n_layers,)
     poss = jnp.full(pos_shape, pos, jnp.int32)
+    if quant_kv and smajor:
+        n_kv, d = cfg.num_key_value_heads, cfg.head_dim
+        return SMajorQuantKVCache(
+            k_q=jnp.zeros((n_layers, batch, max_len, n_kv * d), jnp.int8),
+            v_q=jnp.zeros((n_layers, batch, max_len, n_kv * d), jnp.int8),
+            k_scale=jnp.zeros((n_layers, batch, n_kv, max_len), jnp.float32),
+            v_scale=jnp.zeros((n_layers, batch, n_kv, max_len), jnp.float32),
+            pos=poss,
+        )
+    assert not smajor, "smajor layout is int8-only (quant_kv=True)"
+    shape = (n_layers, batch, cfg.num_key_value_heads, max_len, cfg.head_dim)
     if quant_kv:
         return QuantKVCache(
             k_q=jnp.zeros(shape, jnp.int8), v_q=jnp.zeros(shape, jnp.int8),
@@ -283,16 +295,21 @@ def _prefetch_scan_decode(params, x, cfg, ctx, caches, cos, sin, attn_mask):
     """
     from smoothquant_tpu.models.common import (
         QuantKVCache,
+        SMajorQuantKVCache,
         decode_bias,
         stacked_cache_append_fused,
         stacked_flash_attention,
+        stacked_smajor_attention,
     )
 
     stacked = params["layers"]["stacked"]
     b, s, h = x.shape
     nh, n_kv, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
-    s_max = (caches.k_q if isinstance(caches, QuantKVCache)
-             else caches.k).shape[3]
+    if isinstance(caches, SMajorQuantKVCache):
+        s_max = caches.k_q.shape[2]
+    else:
+        s_max = (caches.k_q if isinstance(caches, QuantKVCache)
+                 else caches.k).shape[3]
 
     def norm_at(node, i):
         return {"weight": node["weight"][i]}
@@ -327,8 +344,12 @@ def _prefetch_scan_decode(params, x, cfg, ctx, caches, cos, sin, attn_mask):
     from smoothquant_tpu.models.common import QuantKVCache as _QKV
 
     attn_mode = ctx.fuse_attn if ctx is not None else "auto"
-    if not (isinstance(caches, _QKV) and attn_mask is None
-            and caches.pos.ndim == 1):
+    if isinstance(caches, SMajorQuantKVCache):
+        # S-major cache: batched-head attention (8 real heads per dot /
+        # softmax) — writer then kernel, validity rides the (B, S) bias
+        attn_mode = "smajor"
+    elif not (isinstance(caches, _QKV) and attn_mask is None
+              and caches.pos.ndim == 1):
         # the virtual-tile kernels take one aligned scalar position; masked
         # or per-slot (L, B) decodes ride the writer+bias+flash path, whose
         # validity is the per-row (B, S) bias
@@ -338,9 +359,10 @@ def _prefetch_scan_decode(params, x, cfg, ctx, caches, cos, sin, attn_mask):
     # (~2.4 us/layer each, profiled)
     norm_in_rows = stacked["input_layernorm"]["weight"][:, None, :]
     norm_post_rows = stacked["post_attention_layernorm"]["weight"][:, None, :]
-    if cfg.sliding_window is not None:
+    if cfg.sliding_window is not None and attn_mode != "smajor":
         # Mistral: the window mask is not folded into the virtual-tile
-        # kernels; the explicit decode_bias path carries it
+        # kernels; the explicit decode_bias path carries it (the smajor
+        # branch already builds its bias via decode_bias)
         attn_mode = "off"
 
     def body(carry, i):
@@ -402,6 +424,12 @@ def _prefetch_scan_decode(params, x, cfg, ctx, caches, cos, sin, attn_mask):
                 interpret=bool(ctx is not None and ctx.interpret))
             cache, _ = stacked_cache_append_fused(cache, i, k, v, cos,
                                                   sin, ctx)
+        elif attn_mode == "smajor":
+            cache, pos_i = stacked_cache_append_fused(cache, i, k, v, cos,
+                                                      sin, ctx)
+            bias = decode_bias(pos_i, b, s_max, attn_mask,
+                               cfg.sliding_window)
+            a = stacked_smajor_attention(cache, i, q[:, 0], bias, ctx)
         elif attn_mode == "fused":
             # one Pallas call: k-rotary + KV quantize + cache row write +
             # flash attention (kernels/attn_fused.py) — replaces the
@@ -466,12 +494,19 @@ def _prefetch_capable(params, cfg, ctx, caches, s: int) -> bool:
     from smoothquant_tpu.kernels import decode_attention as da
     from smoothquant_tpu.models.common import (
         QuantKVCache,
+        SMajorQuantKVCache,
         prefetch_tree_capable,
     )
 
     if not prefetch_tree_capable(params["layers"].get("stacked"), ctx,
                                  caches, s):
         return False
+    if isinstance(caches, SMajorQuantKVCache):
+        from smoothquant_tpu.kernels import attn_smajor
+
+        return attn_smajor.supported(
+            caches.k_q.shape[2], cfg.num_attention_heads,
+            cfg.num_key_value_heads, cfg.head_dim)
     kbuf = caches.k_q if isinstance(caches, QuantKVCache) else caches.k
     return da.supported(kbuf.shape[3], cfg.num_attention_heads,
                         cfg.num_key_value_heads, cfg.head_dim)
