@@ -422,7 +422,8 @@ def main() -> None:
         batcher = ContinuousBatcher(llama, packed, cfg, quant=qcfg,
                                     max_batch=BATCH, max_len=CACHE,
                                     quant_kv=True, compute="auto",
-                                    prefill_params=packed_perlayer)
+                                    prefill_params=packed_perlayer,
+                                    smajor=True)
         assert batcher._stacked, "serving must ride the fast scan path"
         s_rng = np.random.default_rng(42)
 
@@ -489,8 +490,12 @@ def main() -> None:
     # flash-decode kernel.  The stacked packed params + stacked cache trigger
     # the prefetch-scan path (weights stay loop-invariant; scalar-prefetch
     # kernels stream only layer i — no scan slice copies).
+    # S-major int8 cache: the batched-head attention kernel (8 real heads
+    # per dot/softmax) — 9 us/layer faster than the head-major virtual-tile
+    # path (scripts/decode_profile.py PROF_SMAJOR A/B)
     caches = llama.stacked_caches(cfg, BATCH, CACHE, jnp.bfloat16,
-                                  pos=CACHE - 64, quant_kv=True)
+                                  pos=CACHE - 64, quant_kv=True,
+                                  smajor=not _TINY)
     ctx = ForwardContext(quant=qcfg, compute="int", interpret=_TINY)
     t_q = time_steps(make_step(cfg, ctx), (tok, packed, caches), iters=32,
                      repeats=5, stateful=True)
@@ -607,8 +612,8 @@ def main() -> None:
 
     print(json.dumps({
         "metric": ("llama2-7B-dim W4A4 g64 5%-salient nibble-packed decode "
-                   "throughput (full 32-layer depth, int8 KV, fused "
-                   "flash-decode attention, prefetch-scan kernels, "
+                   "throughput (full 32-layer depth, S-major int8 KV, "
+                   "batched-head flash attention, prefetch-scan kernels, "
                    "shared-residual-basis layout)"),
         "value": round(tokens_per_s, 1),
         "unit": "tokens/s/chip",

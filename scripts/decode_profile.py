@@ -135,8 +135,12 @@ def main():
                               num_hidden_layers=LAYERS)
     _log(f"building packed model ({LAYERS} layers)")
     packed = build(cfg, qcfg, head_qcfg, rng)
+    smajor = bool(int(os.environ.get("PROF_SMAJOR", "0")))
     caches = llama.stacked_caches(cfg, BATCH, CACHE, jnp.bfloat16,
-                                  pos=CACHE - 64, quant_kv=True)
+                                  pos=CACHE - 64, quant_kv=True,
+                                  smajor=smajor)
+    if smajor:
+        _log("PROFILING THE S-MAJOR (batched-head) ATTENTION PATH")
     ctx = ForwardContext(quant=qcfg, compute="int")
     tok = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(BATCH, 1)))
 

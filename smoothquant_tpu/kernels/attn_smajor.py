@@ -43,7 +43,10 @@ NEG_INF = -1e30
 
 
 def _pick_tile_s(s: int) -> Optional[int]:
-    for ts in (256, 512, 128):
+    # profiler A/B at (L8, B4, MHA-32, S512): ts=512/bc=1 26.6 us vs
+    # ts=256/bc1 28.3, ts=256/bc2 30.1; bc>=2 at ts512 exceeds VMEM
+    # (scripts/smajor_kernel_probe.py)
+    for ts in (512, 256, 128):
         if s % ts == 0:
             return ts
     return None
@@ -64,21 +67,28 @@ def supported(s: int, n_heads: int, n_kv: int, head_dim: int) -> bool:
 
 def _kernel(idx_ref, q_ref, k_ref, v_ref, bias_ref, ks_ref, vs_ref,
             o_ref, m_ref, l_ref, acc_ref, *, sm_scale: float, n_groups: int,
-            rep: int, d: int, span: int):
+            rep: int, d: int, span: int, bc: int):
     st = pl.program_id(1)
     n_st = pl.num_programs(1)
-    ts = k_ref.shape[2]
     is_first = st == 0
     is_last = st == n_st - 1
 
-    q = q_ref[0]                                           # (H, D) q.dtype
-    k_tile = k_ref[0, 0]                                   # (TS, Hkv*D) i8
-    v_tile = v_ref[0, 0]
-    ks_tile = ks_ref[0, 0]                                 # (Hkv, TS) f32
-    vs_tile = vs_ref[0, 0]
-    bias_row = bias_ref[0, 0].astype(jnp.float32)          # (1, TS)
-
     row8 = jax.lax.broadcasted_iota(jnp.int32, (8, d), 0)  # row index grid
+    for b2 in range(bc):
+        _one_batch(q_ref[b2], k_ref[0, b2], v_ref[0, b2],
+                   bias_ref[b2, 0], ks_ref[0, b2], vs_ref[0, b2],
+                   o_ref, m_ref, l_ref, acc_ref, row8, b2, is_first,
+                   is_last, sm_scale=sm_scale, n_groups=n_groups, rep=rep,
+                   d=d, span=span)
+
+
+def _one_batch(q, k_tile, v_tile, bias_row_raw, ks_tile, vs_tile,
+               o_ref, m_ref, l_ref, acc_ref, row8, b2, is_first, is_last,
+               *, sm_scale: float, n_groups: int, rep: int, d: int,
+               span: int):
+    h = q.shape[0]
+    bias_row = bias_row_raw.astype(jnp.float32)            # (1, TS)
+    r0 = b2 * h
 
     for g in range(n_groups):
         q_g = q[g * 8:(g + 1) * 8]                         # (8, D)
@@ -101,13 +111,22 @@ def _kernel(idx_ref, q_ref, k_ref, v_ref, bias_ref, ks_ref, vs_ref,
         ) * sm_scale                                       # (8, TS)
 
         # per-(position, kv-head) K scales: row j of the group reads kv
-        # head (g*8+j)//rep — static row gather from the (Hkv, TS) block
-        ks_rows = jnp.concatenate(
-            [ks_tile[(g * 8 + j) // rep:(g * 8 + j) // rep + 1]
-             for j in range(8)], axis=0)                   # (8, TS)
-        scores = scores * ks_rows + bias_row
+        # head (g*8+j)//rep.  rep==1: one contiguous sublane slice; rep>1:
+        # offset-normalized row builds (Mosaic concat requires uniform
+        # sublane offsets, which raw row slices do not have)
+        def gather_rows(tile):
+            if rep == 1:
+                return tile[g * 8:(g + 1) * 8]             # (8, TS)
+            n_rows = tile.shape[0]
+            riota = jax.lax.broadcasted_iota(jnp.int32, tile.shape, 0)
+            rows = [jnp.sum(jnp.where(
+                riota == (g * 8 + j) // rep, tile, 0.0),
+                axis=0, keepdims=True) for j in range(8)]
+            return jnp.concatenate(rows, axis=0)           # (8, TS)
 
-        rows = slice(g * 8, (g + 1) * 8)
+        scores = scores * gather_rows(ks_tile) + bias_row
+
+        rows = slice(r0 + g * 8, r0 + (g + 1) * 8)
         m_prev = m_ref[rows, :1]
         m_cur = jnp.max(scores, axis=1, keepdims=True)
         m_new = jnp.where(is_first, m_cur, jnp.maximum(m_prev, m_cur))
@@ -118,10 +137,7 @@ def _kernel(idx_ref, q_ref, k_ref, v_ref, bias_ref, ks_ref, vs_ref,
         p_sum = jnp.sum(p, axis=1, keepdims=True)
         l_new = jnp.where(is_first, p_sum, l_ref[rows, :1] * alpha + p_sum)
 
-        vs_rows = jnp.concatenate(
-            [vs_tile[(g * 8 + j) // rep:(g * 8 + j) // rep + 1]
-             for j in range(8)], axis=0)
-        p = p * vs_rows
+        p = p * gather_rows(vs_tile)
         v_sl = v_tile[:, col0:col0 + span].astype(jnp.bfloat16)
         pv = jax.lax.dot_general(
             p.astype(jnp.bfloat16), v_sl,
@@ -138,14 +154,18 @@ def _kernel(idx_ref, q_ref, k_ref, v_ref, bias_ref, ks_ref, vs_ref,
         def _(g=g, acc_new=acc_new, l_new=l_new):
             denom = jnp.where(l_new > 0.0, l_new, 1.0)
             out = acc_new / denom                          # (8, span)
-            # head j's true output is its own D-lane block (j//rep)
-            picked = jnp.concatenate(
-                [out[j:j + 1, (j // rep) * d:(j // rep + 1) * d]
-                 for j in range(8)], axis=0)               # (8, D)
-            o_ref[0, g * 8:(g + 1) * 8, :] = picked.astype(o_ref.dtype)
+            # head j's true output is its own D-lane block (j//rep) —
+            # extracted with masked elementwise adds (no mixed-offset
+            # concats, which Mosaic rejects)
+            picked = jnp.zeros((8, d), jnp.float32)
+            for kb in range(span // d):
+                picked = picked + jnp.where(
+                    row8 // rep == kb, out[:, kb * d:(kb + 1) * d], 0.0)
+            o_ref[b2, g * 8:(g + 1) * 8, :] = picked.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("sm_scale", "interpret"))
+@functools.partial(jax.jit, static_argnames=("sm_scale", "interpret",
+                                             "tile_s", "b_chunk"))
 def decode_attention_smajor_stacked(
     layer_idx: jax.Array,          # (1,) int32
     q: jax.Array,                  # (B, H, D) — post-rotary queries
@@ -157,6 +177,8 @@ def decode_attention_smajor_stacked(
     *,
     sm_scale: Optional[float] = None,
     interpret: bool = False,
+    tile_s: int = 0,               # 0 = auto
+    b_chunk: int = 0,              # batches per grid step; 0 = auto
 ) -> jax.Array:
     """(B, H, D) attention over the S-major int8 stacked cache."""
     b, h, d = q.shape
@@ -164,39 +186,43 @@ def decode_attention_smajor_stacked(
     n_kv = hkvd // d
     rep = h // n_kv
     assert supported(s, h, n_kv, d), (s, h, n_kv, d)
-    ts = _pick_tile_s(s)
+    ts = tile_s or _pick_tile_s(s)
+    assert s % ts == 0
     if sm_scale is None:
         sm_scale = 1.0 / (d ** 0.5)
     n_groups = h // 8
     span = max(8 // rep, 1) * d
+    bc = b_chunk or _pick_b_chunk(b, ts, hkvd)
+    assert b % bc == 0
 
-    grid = (b, s // ts)
-    q_spec = pl.BlockSpec((1, h, d), lambda bb, st, i: (bb, 0, 0),
+    grid = (b // bc, s // ts)
+    q_spec = pl.BlockSpec((bc, h, d), lambda bb, st, i: (bb, 0, 0),
                           memory_space=pltpu.VMEM)
-    kv_spec = pl.BlockSpec((1, 1, ts, hkvd),
+    kv_spec = pl.BlockSpec((1, bc, ts, hkvd),
                            lambda bb, st, i: (i[0], bb, st, 0),
                            memory_space=pltpu.VMEM)
     bias4 = bias.reshape(b, s // ts, 1, ts)
-    bias_spec = pl.BlockSpec((1, 1, 1, ts), lambda bb, st, i: (bb, st, 0, 0),
+    bias_spec = pl.BlockSpec((bc, 1, 1, ts), lambda bb, st, i: (bb, st, 0, 0),
                              memory_space=pltpu.VMEM)
-    sc_spec = pl.BlockSpec((1, 1, n_kv, ts),
+    sc_spec = pl.BlockSpec((1, bc, n_kv, ts),
                            lambda bb, st, i: (i[0], bb, 0, st),
                            memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, h, d), lambda bb, st, i: (bb, 0, 0),
+    out_spec = pl.BlockSpec((bc, h, d), lambda bb, st, i: (bb, 0, 0),
                             memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
         functools.partial(_kernel, sm_scale=float(sm_scale),
-                          n_groups=n_groups, rep=rep, d=d, span=span),
+                          n_groups=n_groups, rep=rep, d=d, span=span,
+                          bc=bc),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[q_spec, kv_spec, kv_spec, bias_spec, sc_spec, sc_spec],
             out_specs=out_spec,
             scratch_shapes=[
-                pltpu.VMEM((h, 128), jnp.float32),   # running max
-                pltpu.VMEM((h, 128), jnp.float32),   # denominator
-                pltpu.VMEM((h, span), jnp.float32),  # numerator
+                pltpu.VMEM((bc * h, 128), jnp.float32),   # running max
+                pltpu.VMEM((bc * h, 128), jnp.float32),   # denominator
+                pltpu.VMEM((bc * h, span), jnp.float32),  # numerator
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((b, h, d), q.dtype),
@@ -212,6 +238,16 @@ def decode_attention_smajor_stacked(
     )(jnp.asarray(layer_idx, jnp.int32).reshape(1), q, k_sm, v_sm, bias4,
       k_scale, v_scale)
     return out
+
+
+def _pick_b_chunk(b: int, ts: int, hkvd: int) -> int:
+    """Batches per grid step.  Unlike the head-major kernel (whose tiny
+    per-head tiles NEEDED chunking to amortize DMA issue), the S-major
+    (TS, Hkv*D) tile is already MB-scale at ts=512 — bc=1 measured fastest
+    and larger bc either lost (30.1 vs 28.3 us at ts=256) or blew VMEM
+    (scripts/smajor_kernel_probe.py)."""
+    del b, ts, hkvd
+    return 1
 
 
 # ---------------------------------------------------------------------------
@@ -242,15 +278,19 @@ def _write_kernel(idx_ref, k_ref, v_ref, cos_ref, sin_ref,
             x = x * cos + _rot_half(x) * sin
         absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
         scale = jnp.maximum(absmax, 1e-8) / 127.0          # (H, 1)
-        q = jnp.round(x / scale).astype(jnp.int8)          # (H, D)
+        qv = jnp.round(x / scale)                          # (H, D) f32
 
-        # flatten (H, D) -> (1, H*D) via static lane concat (Mosaic cannot
-        # merge sublanes into lanes with a reshape)
-        flat = jnp.concatenate([q[i:i + 1] for i in range(h)], axis=1)
-
-        old_q = q_in_ref[0, 0]                             # (8, H*D)
-        rows = jax.lax.broadcasted_iota(jnp.int32, old_q.shape, 0)
-        q_out_ref[0, 0] = jnp.where(rows == row, flat, old_q)
+        # place head i's vector into lane block i of the S-row: per-head
+        # stores with sublane-sum offset normalization (Mosaic rejects
+        # lane-concats of slices at different sublane offsets)
+        riota = jax.lax.broadcasted_iota(jnp.int32, (h, d), 0)
+        rows8 = jax.lax.broadcasted_iota(jnp.int32, (8, d), 0)
+        for i in range(h):
+            qi = jnp.sum(jnp.where(riota == i, qv, 0.0), axis=0,
+                         keepdims=True).astype(jnp.int8)   # (1, D) offset 0
+            old_i = q_in_ref[0, 0, :, i * d:(i + 1) * d]   # (8, D)
+            q_out_ref[0, 0, :, i * d:(i + 1) * d] = jnp.where(
+                rows8 == row, jnp.broadcast_to(qi, (8, d)), old_i)
 
         old_s = s_in_ref[0, 0]                             # (H, 128)
         lanes = jax.lax.broadcasted_iota(jnp.int32, old_s.shape, 1)

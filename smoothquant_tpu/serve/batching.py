@@ -49,7 +49,8 @@ class ContinuousBatcher:
     def __init__(self, model_mod, params, cfg, quant=None, *,
                  max_batch: int = 4, max_len: int = 512, kv_dtype=None,
                  quant_kv: bool = False, compute: str = "auto",
-                 interpret: bool = False, prefill_params=None):
+                 interpret: bool = False, prefill_params=None,
+                 smajor: bool = False):
         self.mod, self.params, self.cfg = model_mod, params, cfg
         # optional prefill-optimized params twin (promote_model_int8)
         self.prefill_params = params if prefill_params is None else prefill_params
@@ -60,7 +61,11 @@ class ContinuousBatcher:
         n_kv = getattr(cfg, "num_key_value_heads", cfg.num_attention_heads)
         self._n_kv = n_kv
 
-        cache_cls = QuantKVCache if quant_kv else KVCache
+        from smoothquant_tpu.models.common import SMajorQuantKVCache
+
+        assert not smajor or quant_kv, "smajor layout is int8-only"
+        cache_cls = (SMajorQuantKVCache if (quant_kv and smajor)
+                     else QuantKVCache if quant_kv else KVCache)
         # STACKED decode params (stack_layers / block_decode_tree trees)
         # serve on the per-slot prefetch-scan path: ONE pooled cache with a
         # leading layers axis and (L, B) per-slot positions, decoded by the
@@ -71,15 +76,27 @@ class ContinuousBatcher:
             "layers", {})
         n_layers = cfg.num_hidden_layers
         if self._stacked:
-            shape = (n_layers, max_batch, n_kv, max_len, cfg.head_dim)
             pos0 = jnp.zeros((n_layers, max_batch), jnp.int32)
-            if quant_kv:
+            if quant_kv and smajor:
+                hd = n_kv * cfg.head_dim
+                self.caches = SMajorQuantKVCache(
+                    k_q=jnp.zeros((n_layers, max_batch, max_len, hd),
+                                  jnp.int8),
+                    v_q=jnp.zeros((n_layers, max_batch, max_len, hd),
+                                  jnp.int8),
+                    k_scale=jnp.zeros((n_layers, max_batch, n_kv, max_len),
+                                      jnp.float32),
+                    v_scale=jnp.zeros((n_layers, max_batch, n_kv, max_len),
+                                      jnp.float32), pos=pos0)
+            elif quant_kv:
+                shape = (n_layers, max_batch, n_kv, max_len, cfg.head_dim)
                 self.caches = QuantKVCache(
                     k_q=jnp.zeros(shape, jnp.int8),
                     v_q=jnp.zeros(shape, jnp.int8),
                     k_scale=jnp.zeros(shape[:4], jnp.float32),
                     v_scale=jnp.zeros(shape[:4], jnp.float32), pos=pos0)
             else:
+                shape = (n_layers, max_batch, n_kv, max_len, cfg.head_dim)
                 self.caches = KVCache(k=jnp.zeros(shape, self.kv_dtype),
                                       v=jnp.zeros(shape, self.kv_dtype),
                                       pos=pos0)

@@ -185,3 +185,32 @@ def test_smajor_per_slot_scan(packed_model8):
                             positions=positions, attn_mask=mask)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_batcher_smajor_matches_quantkv(packed_model8):
+    """ContinuousBatcher on the S-major per-slot pool emits the same
+    tokens as the head-major per-slot fast path."""
+    from smoothquant_tpu.serve.batching import ContinuousBatcher, Request
+
+    cfg, qcfg, packed = packed_model8
+    stacked = jllama.stack_layers(packed, cfg)
+
+    def make():
+        rng = np.random.default_rng(7)
+        return [Request(uid=i,
+                        prompt=rng.integers(0, cfg.vocab_size, size=(int(n),)),
+                        max_new_tokens=4)
+                for i, n in enumerate([5, 9, 3])]
+
+    outs = []
+    for smajor in (False, True):
+        b = ContinuousBatcher(jllama, stacked, cfg, quant=qcfg, max_batch=2,
+                              max_len=128, quant_kv=True, compute="int",
+                              interpret=True, prefill_params=packed,
+                              smajor=smajor)
+        reqs = make()
+        for r in reqs:
+            b.submit(r)
+        b.run_to_completion(chunk=2)
+        outs.append([r.generated for r in reqs])
+    assert outs[0] == outs[1]
