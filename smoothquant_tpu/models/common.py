@@ -61,6 +61,16 @@ class ForwardContext:
     #                                over this mesh axis; each device runs
     #                                its local experts and the combined MoE
     #                                output is psum'd
+    tp_overlap_chunks: int = 0  # Megatron row-parallel (tp_reduce="psum")
+    #                             linears: split the token axis into this
+    #                             many independent chunks, each with its own
+    #                             psum — XLA's latency-hiding scheduler
+    #                             overlaps chunk c's all-reduce with chunk
+    #                             c+1's matmul (the north-star "collectives
+    #                             overlapped with dequant+matmul";
+    #                             bitwise-identical results).  0 = one
+    #                             synchronous psum.  Effective for prefill
+    #                             token counts (>= 8 rows per chunk).
     cp_axis: Optional[str] = None  # inside shard_map: the SEQUENCE axis is
     #                                sharded over this mesh axis and
     #                                no-cache (prefill) attention runs as
@@ -149,13 +159,40 @@ def call_linear(
         interpret = ctx.interpret if ctx is not None else False
         if (ctx is not None and ctx.tp_axis is not None
                 and params.meta.tp_reduce == "psum"):
-            # Megatron row-parallel: local K-shard partial product, one
+            # Megatron row-parallel: local K-shard partial product, then
             # all-reduce; bias is stored pre-divided by tp so the psum
-            # reconstitutes it exactly once
-            y = real_quant_linear(params, x, compute=compute,
-                                  interpret=interpret, layer_idx=layer_idx,
-                                  norm=norm)
-            y = jax.lax.psum(y, ctx.tp_axis)
+            # reconstitutes it exactly once.  tp_overlap_chunks > 1 splits
+            # the token axis into independent (matmul, psum) chunks so the
+            # collective of one chunk overlaps the next chunk's compute.
+            ch = ctx.tp_overlap_chunks
+            if (ch > 1 and x.ndim == 3 and x.shape[1] >= ch * 8
+                    and x.shape[1] % ch == 0):
+                step = x.shape[1] // ch
+                parts = []
+                prev = None
+                for c in range(ch):
+                    yc = real_quant_linear(
+                        params, x[:, c * step:(c + 1) * step],
+                        compute=compute, interpret=interpret,
+                        layer_idx=layer_idx, norm=norm)
+                    if prev is not None:
+                        # chain ONLY the collectives: the barrier puts a
+                        # dependency path between successive psums (so
+                        # XLA's all-reduce combiner cannot re-merge the
+                        # chunks) while chunk c+1's matmul stays
+                        # independent of chunk c's in-flight all-reduce —
+                        # the structure the latency-hiding scheduler
+                        # overlaps on a real ICI mesh
+                        yc, prev = jax.lax.optimization_barrier((yc, prev))
+                    yc = jax.lax.psum(yc, ctx.tp_axis)
+                    prev = yc
+                    parts.append(yc)
+                y = jnp.concatenate(parts, axis=1)
+            else:
+                y = real_quant_linear(params, x, compute=compute,
+                                      interpret=interpret,
+                                      layer_idx=layer_idx, norm=norm)
+                y = jax.lax.psum(y, ctx.tp_axis)
         else:
             y = real_quant_linear(params, x, compute=compute,
                                   interpret=interpret, layer_idx=layer_idx,

@@ -155,13 +155,19 @@ def pack_model_tp(
 
 
 def make_tp_forward_v2(mod, cfg, mesh, *, compute: str = "auto",
-                       interpret: bool = False):
+                       interpret: bool = False, overlap_chunks: int = 0):
     """Megatron-style TP forward for a pack_model_tp() pytree.
 
     Attention runs on LOCAL heads (the KV cache, if used, is tensor-sharded
     over heads); o_proj/down_proj psum.  Exactly two all-reduces per decoder
     layer.  Requires a config with a head_dim_value field (llama-family) and
     tp | num_attention_heads, tp | num_key_value_heads.
+
+    overlap_chunks > 1 pipelines each row-parallel reduce: the token axis
+    splits into independent (matmul, psum) chunks so chunk c's all-reduce
+    overlaps chunk c+1's matmul under XLA's latency-hiding scheduler
+    (bitwise-identical logits; scripts/tp_overlap_trace.py records the
+    interleaved schedule).
     """
     tp = mesh.shape[TP_AXIS]
     nh = cfg.num_attention_heads
@@ -180,7 +186,8 @@ def make_tp_forward_v2(mod, cfg, mesh, *, compute: str = "auto",
     def build(params):
         specs = packed_model_specs(params)
         ctx = ForwardContext(compute=compute, interpret=interpret,
-                             tp_axis=TP_AXIS)
+                             tp_axis=TP_AXIS,
+                             tp_overlap_chunks=overlap_chunks)
 
         @jax.jit
         @functools.partial(

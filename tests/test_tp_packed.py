@@ -246,3 +246,53 @@ class TestTPv2Megatron:
                          forward_fn=lambda p, ids, c: step(p, ids, c))
         out2 = gen2.generate(prompt, gcfg)
         np.testing.assert_array_equal(out1, out2)
+
+
+class TestTPOverlap:
+    """Pipelined row-parallel reduce (VERDICT r4 #6): token-chunked
+    (matmul, psum) pairs must be bitwise-equal to the synchronous psum —
+    each token row's math is unchanged; only the collective granularity
+    (and thus the schedule) differs."""
+
+    def test_overlap_chunks_bitwise_equal(self):
+        from smoothquant_tpu.parallel.tp_packed import (
+            make_tp_forward_v2, pack_model_tp)
+
+        mesh = make_mesh(tp=2, dp=4)
+        cfg = jllama.LlamaConfig.tiny()
+        params = jllama.init_params(jax.random.PRNGKey(5), cfg)
+        qcfg = QuantConfig(weight_quant="per_group_unsorted",
+                           act_quant="per_group_unsorted",
+                           quant_bits=4, group_size=16)
+        tp_params = pack_model_tp("llama", params, cfg, qcfg, tp=2,
+                                  compute_dtype=jnp.float32)
+        ids = jnp.asarray(np.random.default_rng(6).integers(
+            0, 256, size=(2, 32)))
+        sync = make_tp_forward_v2(jllama, cfg, mesh,
+                                  interpret=True)(tp_params)
+        over = make_tp_forward_v2(jllama, cfg, mesh, interpret=True,
+                                  overlap_chunks=4)(tp_params)
+        np.testing.assert_array_equal(np.asarray(sync(tp_params, ids)),
+                                      np.asarray(over(tp_params, ids)))
+
+    def test_overlap_declines_small_token_counts(self):
+        # decode-size inputs (1 token) keep the single synchronous psum
+        from smoothquant_tpu.parallel.tp_packed import (
+            make_tp_forward_v2, pack_model_tp)
+
+        mesh = make_mesh(tp=2, dp=4)
+        cfg = jllama.LlamaConfig.tiny()
+        params = jllama.init_params(jax.random.PRNGKey(5), cfg)
+        qcfg = QuantConfig(weight_quant="per_group_unsorted",
+                           act_quant="per_group_unsorted",
+                           quant_bits=4, group_size=16)
+        tp_params = pack_model_tp("llama", params, cfg, qcfg, tp=2,
+                                  compute_dtype=jnp.float32)
+        ids = jnp.asarray(np.random.default_rng(6).integers(
+            0, 256, size=(2, 3)))
+        sync = make_tp_forward_v2(jllama, cfg, mesh,
+                                  interpret=True)(tp_params)
+        over = make_tp_forward_v2(jllama, cfg, mesh, interpret=True,
+                                  overlap_chunks=4)(tp_params)
+        np.testing.assert_array_equal(np.asarray(sync(tp_params, ids)),
+                                      np.asarray(over(tp_params, ids)))
