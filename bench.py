@@ -40,7 +40,9 @@ def _log(msg: str) -> None:
 
 BATCH, CACHE = 4, 512
 FULL_LAYERS = 32
-BF16_DEPTHS = (4, 16)
+# 28L is the deepest bf16 tree that fits beside the bf16 cache (14.0 of
+# ~15.5 usable GB); 32L measured RESOURCE_EXHAUSTED
+BF16_DEPTHS = (4, 16, 28)
 
 # SMQ_BENCH_TINY=1: shrink every dimension and run Pallas in interpret mode —
 # a CPU-runnable plumbing smoke test of the exact bench code path.
@@ -117,66 +119,60 @@ def main() -> None:
             return {"weight_t": jnp.concatenate(
                 [l["weight"].T for l in lins], axis=1), "bias": None}
 
-        layers = {}
-        for i in range(cfg.num_hidden_layers):
+        def make_layer(i):
             lp = llama.init_layer_params(jax.random.fold_in(key, i), cfg)
             sa, mlp = lp["self_attn"], lp["mlp"]
             lp["self_attn"] = {
-                "qkv_proj": fuse_t(sa["q_proj"], sa["k_proj"], sa["v_proj"]),
+                "qkv_proj": fuse_t(sa["q_proj"], sa["k_proj"],
+                                   sa["v_proj"]),
                 "o_proj": fuse_t(sa["o_proj"]),
             }
             lp["mlp"] = {
                 "gate_up_proj": fuse_t(mlp["gate_proj"], mlp["up_proj"]),
                 "down_proj": fuse_t(mlp["down_proj"]),
             }
-            layers[str(i)] = lp
+            return lp
+
+        # allocate the STACKED tree once and fill it with donated in-place
+        # row writes: a whole-tree jnp.stack holds two copies of the
+        # weights at peak and OOMs the 28L (11.3 GB) baseline point
+        lp0 = make_layer(0)
+        n_l = cfg.num_hidden_layers
+        stacked = jax.tree.map(
+            lambda a: jnp.zeros((n_l,) + a.shape, a.dtype), lp0)
+        upd = jax.jit(lambda buf, xx, i: buf.at[i].set(xx),
+                      donate_argnums=(0,))
+        for i in range(n_l):
+            lp = lp0 if i == 0 else make_layer(i)
+            stacked = jax.tree.map(
+                lambda b, xx: upd(b, xx, jnp.int32(i)), stacked, lp)
+            del lp
+        lp0 = None
+        gc.collect()
         h = cfg.hidden_size
-        tree = {
+        return {
             "embed_tokens": {"weight": jax.random.normal(
                 jax.random.fold_in(key, 1001), (cfg.vocab_size, h),
                 jnp.bfloat16) * 0.02},
-            "layers": layers,
+            "layers": {"stacked": stacked},
             "norm": {"weight": jnp.ones((h,), jnp.bfloat16)},
             "lm_head": llama._init_lin(jax.random.fold_in(key, 1000),
                                        cfg.vocab_size, h, False,
                                        jnp.bfloat16),
         }
-        return llama.stack_layers(tree, cfg)
 
     t_bf = {}
     bf_ctx = ForwardContext(interpret=_TINY)
-    # measure the FULL-depth bf16 baseline directly (VERDICT r4 #5): the
-    # 13.5 GB bf16 tree + 2.2 GB bf16 cache fit the 16 GB chip ALONE, so it
-    # runs first, before anything else is resident.  Falls back to the
-    # 2-point linear fit if the allocation fails.
-    bf16_measured_full = False
-    try:
-        cfg = cfg_at(FULL_LAYERS)
-        _log(f"bf16 init FULL depth {FULL_LAYERS} (13.5 GB, runs alone)")
-        params = build_bf16(cfg)
-        caches = llama.stacked_caches(cfg, BATCH, CACHE, jnp.bfloat16,
-                                      pos=CACHE - 64)
-        _log("bf16 full-depth decode timing (compiles on first run)")
-        t_bf[FULL_LAYERS] = time_steps(
-            make_step(cfg, bf_ctx), (tok, params, caches),
-            iters=32, repeats=5, stateful=True)
-        _log(f"bf16 depth {FULL_LAYERS} MEASURED: "
-             f"{t_bf[FULL_LAYERS]*1e3:.2f} ms/step")
-        t_bf_est = t_bf[FULL_LAYERS]
-        bf16_measured_full = True
-    except Exception as e:  # noqa: BLE001 — OOM on smaller chips
-        _log(f"bf16 full-depth failed ({type(e).__name__}); "
-             "falling back to the 2-point fit")
-    finally:
+    # VERDICT r4 #5 asked for a measured full-depth bf16 baseline; the full
+    # 32L tree + bf16 cache is 15.6 GB and does NOT fit the 16 GB chip
+    # (measured RESOURCE_EXHAUSTED), so the deepest depth that fits beside
+    # the cache (28L = 14.0 GB) anchors a multi-point least-squares fit —
+    # the extrapolation shrinks from 2x (16L -> 32L) to 14% (28L -> 32L),
+    # with linearity verifiable across the measured range.
+    for depth in BF16_DEPTHS:
+        cfg = cfg_at(depth)
+        _log(f"bf16 init depth {depth}")
         try:
-            del params, caches
-        except NameError:
-            pass
-        gc.collect()
-    if not bf16_measured_full:
-        for depth in BF16_DEPTHS:
-            cfg = cfg_at(depth)
-            _log(f"bf16 init depth {depth}")
             params = build_bf16(cfg)
             caches = llama.stacked_caches(cfg, BATCH, CACHE, jnp.bfloat16,
                                           pos=CACHE - 64)
@@ -185,14 +181,31 @@ def main() -> None:
                                      (tok, params, caches),
                                      iters=32, repeats=5, stateful=True)
             _log(f"bf16 depth {depth}: {t_bf[depth]*1e3:.2f} ms/step")
-            del params, caches
+        except Exception as e:  # noqa: BLE001 — deepest point may OOM
+            _log(f"bf16 depth {depth} failed ({type(e).__name__}); "
+                 "continuing with shallower points")
+            # an OOM'd attempt can leave buffers pinned through cached
+            # executables / traceback frames — drop everything re-creatable
+            jax.clear_caches()
+        finally:
+            try:
+                del params, caches
+            except NameError:
+                pass
             gc.collect()
-
-        d0, d1 = BF16_DEPTHS
-        per_layer = (t_bf[d1] - t_bf[d0]) / (d1 - d0)
-        t_bf_est = t_bf[d0] + per_layer * (FULL_LAYERS - d0)
-        _log(f"bf16 fit: {per_layer*1e3:.3f} ms/layer, "
-             f"est {FULL_LAYERS}L = {t_bf_est*1e3:.2f} ms/step")
+    ds = sorted(t_bf)
+    if len(ds) >= 2:
+        xs_ = np.asarray(ds, np.float64)
+        ys_ = np.asarray([t_bf[d] for d in ds], np.float64)
+        per_layer, icept = np.polyfit(xs_, ys_, 1)
+        t_bf_est = icept + per_layer * FULL_LAYERS
+        resid = ys_ - (icept + per_layer * xs_)
+        _log(f"bf16 fit over {ds}: {per_layer*1e3:.3f} ms/layer, "
+             f"est {FULL_LAYERS}L = {t_bf_est*1e3:.2f} ms/step, "
+             f"max fit residual {np.abs(resid).max()*1e3:.3f} ms")
+    else:
+        t_bf_est = t_bf[ds[0]] * FULL_LAYERS / ds[0]
+        _log(f"single-point bf16 scale-up: est {t_bf_est*1e3:.2f} ms")
 
     # ---------------- prefill micro-metric (VERDICT r1 #3) -----------------
     # the promoted-int8 prefill path vs bf16 at the canonical prefill shape
@@ -459,20 +472,27 @@ def main() -> None:
         # steady-state decode rate: 3 chunks with full slots and no
         # admission inside the window (admission chunks carry host-side
         # prefill dispatch that a local-attached chip would not pay)
-        steady_reqs = make_reqs(4, 2000)
+        # steady-state: chunk=16 (one host sync per 16 steps — the tunnel
+        # RTT is ~30 ms/chunk; a locally-attached chip would pay ~none) and
+        # max_new=64 so all four slots stay active through the window
+        steady_reqs = [Request(uid=2000 + i,
+                               prompt=s_rng.integers(
+                                   0, cfg.vocab_size,
+                                   size=(int(s_rng.integers(100, 240)),)),
+                               max_new_tokens=64)
+                       for i in range(4)]
         for r in steady_reqs:
             batcher.submit(r)
-        batcher.step_chunk(8)  # admission + first chunk outside the clock
+        batcher.step_chunk(16)  # admission + first chunk outside the clock
         gen0 = sum(len(r.generated) for r in steady_reqs)
         t0 = _time.perf_counter()
-        for _ in range(3):
-            batcher.step_chunk(8)
+        for _ in range(2):
+            batcher.step_chunk(16)
         steady_wall = _time.perf_counter() - t0
         # count tokens actually EMITTED in the window (post-EOS/max_new
-        # tokens inside a chunk are discarded host-side — the nominal
-        # 4*8*3 overstated throughput ~4%)
+        # tokens inside a chunk are discarded host-side)
         steady_toks = sum(len(r.generated) for r in steady_reqs) - gen0
-        batcher.run_to_completion(chunk=8)
+        batcher.run_to_completion(chunk=16)
         serving["serving_steady_tokens_per_s"] = round(
             steady_toks / steady_wall, 1)
         _log(f"serving steady-state {serving['serving_steady_tokens_per_s']}"
@@ -596,7 +616,11 @@ def main() -> None:
                         ("skewed", skewed_trace),
                         ("bursty", bursty_trace)):
         for hosts in (2, 4):
-            r = scaling_efficiency(tgen(64, seed=0, max_len=CACHE),
+            # trace length scales with hosts: a fixed short trace leaves
+            # the N-host run drain-tail-dominated (the last requests decode
+            # at partial batch on every host), which measures the TRACE,
+            # not the scheduler — steady-state efficiency is the claim
+            r = scaling_efficiency(tgen(96 * hosts, seed=0, max_len=CACHE),
                                    sim_cost, hosts,
                                    max_batch=BATCH, max_len=CACHE)
             sim_grid[f"{tname}_{hosts}h"] = {

@@ -108,6 +108,14 @@ class ContinuousBatcher:
             ]
         self.key_valid = np.zeros((max_batch, max_len), bool)
         self.seq_pos = np.zeros(max_batch, np.int32)   # true sequence lengths
+        # host-side mirror of the per-slot device cache positions: every
+        # decode step advances EVERY slot's position by one (dead slots
+        # included), and admission resets a slot to its prompt length — so
+        # the host needs no device fetch to know them.  Dropping the
+        # per-chunk key_valid/pos fetches saves one ~30 ms tunnel RTT per
+        # chunk (measured: the fetch, not the compute, capped steady-state
+        # serving at 233 tok/s — scripts/serving_overhead_probe.py).
+        self.pool_pos = np.zeros(max_batch, np.int64)
         self.slot_req: list[Optional[Request]] = [None] * max_batch
         self.queue: list[Request] = []
         self._steps = 0
@@ -237,7 +245,9 @@ class ContinuousBatcher:
 
             (_, caches, positions, key_valid), toks = jax.lax.scan(
                 body, (tok, caches, positions, key_valid), None, length=k)
-            return toks, caches, key_valid
+            # key_valid is NOT returned: the host mirrors it from pool_pos
+            # (fetching it cost a full tunnel RTT per chunk)
+            return toks, caches
 
         self._decode_chunks[k] = _decode_k
         return _decode_k
@@ -302,6 +312,7 @@ class ContinuousBatcher:
                 self.key_valid[slot, :] = False
                 self.key_valid[slot, :s_true] = True
                 self.seq_pos[slot] = s_true
+                self.pool_pos[slot] = s_true
                 self.slot_req[slot] = req
                 # first generated token: the last TRUE prompt position
                 self._emit(slot, int(first_toks[i]))
@@ -326,11 +337,10 @@ class ContinuousBatcher:
         tok = np.zeros(self.max_batch, np.int32)
         for s in active:
             tok[s] = self.slot_req[s].generated[-1]
-        # mark the incoming token's cache position valid for every active slot
-        cache_pos = np.asarray(self.caches.pos[0] if self._stacked
-                               else self.caches[0].pos)
+        # mark the incoming token's cache position valid for every active
+        # slot (pool_pos mirrors the device positions — no fetch)
         for s in active:
-            self.key_valid[s, cache_pos[s]] = True
+            self.key_valid[s, self.pool_pos[s]] = True
 
         next_tok, self.caches = self._decode(
             self.params, jnp.asarray(tok), self.caches,
@@ -338,6 +348,9 @@ class ContinuousBatcher:
         )
         self._steps += 1
         next_np = np.asarray(next_tok)
+        # every slot's device cache position advanced by one (dead slots
+        # included — the batch decodes uniformly)
+        self.pool_pos += 1
 
         finished = []
         for s in active:
@@ -363,13 +376,19 @@ class ContinuousBatcher:
         tok = np.zeros(self.max_batch, np.int32)
         for s in active:
             tok[s] = self.slot_req[s].generated[-1]
-        toks, self.caches, kv_dev = self._get_decode_chunk(k)(
+        toks, self.caches = self._get_decode_chunk(k)(
             self.params, jnp.asarray(tok), self.caches,
             jnp.asarray(self.seq_pos), jnp.asarray(self.key_valid),
         )
         self._steps += k
         toks = np.asarray(toks)                       # (k, B)
-        self.key_valid = np.asarray(kv_dev).astype(bool)
+        # mirror the device's in-chunk key_valid updates from pool_pos:
+        # rows pos .. pos+k-1 became valid for every slot (one RTT saved)
+        for s in range(self.max_batch):
+            lo = min(int(self.pool_pos[s]), self.max_len)
+            hi = min(lo + k, self.max_len)
+            self.key_valid[s, lo:hi] = True
+        self.pool_pos += k
         finished = []
         for s in active:
             self.seq_pos[s] += k

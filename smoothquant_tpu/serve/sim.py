@@ -59,6 +59,7 @@ class SimBatcher(ContinuousBatcher):
         self.clock = 0.0
         self.key_valid = np.zeros((max_batch, max_len), bool)
         self.seq_pos = np.zeros(max_batch, np.int32)
+        self.pool_pos = np.zeros(max_batch, np.int64)
         self.slot_req: list[Optional[Request]] = [None] * max_batch
         self.queue: list[Request] = []
         self._steps = 0
