@@ -87,7 +87,38 @@ class ClusterFrontend:
         tgt = min(self.replicas, key=lambda r: (r.outstanding, r.host_id))
         tgt.submit(req)
 
+    def rebalance(self) -> int:
+        """Work stealing at the queue level: move QUEUED (never-admitted)
+        requests from loaded replicas to replicas with idle slot capacity
+        and nothing queued.  Only prompt ids move (queued requests own no
+        KV state), so on a real pod this is a few KB over DCN.  Attacks
+        the routing-imbalance loss the scaling sim attributes (submit-time
+        least-outstanding-work routing cannot predict decode lengths)."""
+        moved = 0
+        while True:
+            takers = [r for r in self.replicas
+                      if not r.batcher.queue
+                      and any(s is None for s in r.batcher.slot_req)]
+            # givers: queue EXCESS beyond their own free slots (a replica
+            # admits up to its free slots next step; donating only the
+            # excess cannot ping-pong — a taker holds at most one queued
+            # request against >= 1 free slot, so it never re-qualifies)
+            givers = sorted(
+                (r for r in self.replicas
+                 if len(r.batcher.queue)
+                 > sum(s is None for s in r.batcher.slot_req)),
+                key=lambda r: -len(r.batcher.queue))
+            if not takers or not givers:
+                return moved
+            g, t = givers[0], takers[0]
+            req = g.batcher.queue.pop()       # tail: least FIFO disturbance
+            g.outstanding -= len(req.prompt) + req.max_new_tokens
+            g.requests.remove(req)
+            t.submit(req)
+            moved += 1
+
     def step_all(self) -> list[Request]:
+        self.rebalance()
         done: list[Request] = []
         for rep in self.replicas:
             if rep.has_work():

@@ -173,7 +173,31 @@ def simulate_cluster(n_hosts: int, trace: list[Arrival], cost: CostModel,
     pending = sorted(trace, key=lambda a: a.t)
     requests = [a.request for a in pending]
 
+    def steal():
+        # ClusterFrontend.rebalance with virtual-clock causality: stolen
+        # work cannot start before it arrived
+        while True:
+            takers = [r for r in front.replicas
+                      if not r.batcher.queue
+                      and any(s is None for s in r.batcher.slot_req)]
+            givers = sorted(
+                (r for r in front.replicas
+                 if len(r.batcher.queue)
+                 > sum(s is None for s in r.batcher.slot_req)),
+                key=lambda r: -len(r.batcher.queue))
+            if not takers or not givers:
+                return
+            g, t = givers[0], takers[0]
+            req = g.batcher.queue.pop()
+            g.outstanding -= len(req.prompt) + req.max_new_tokens
+            g.requests.remove(req)
+            t.batcher.clock = max(t.batcher.clock,
+                                  getattr(req, "_arrival_t",
+                                          t.batcher.clock))
+            t.submit(req)
+
     while pending or any(rep.has_work() for rep in front.replicas):
+        steal()
         workers = [r for r in front.replicas if r.has_work()]
         t_step = min((r.batcher.clock for r in workers), default=float("inf"))
         if pending and pending[0].t <= t_step:
@@ -182,6 +206,7 @@ def simulate_cluster(n_hosts: int, trace: list[Arrival], cost: CostModel,
             for rep in front.replicas:
                 if not rep.has_work():
                     rep.batcher.clock = max(rep.batcher.clock, arr.t)
+            arr.request._arrival_t = arr.t
             front.submit(arr.request)
             continue
         rep = min(workers, key=lambda r: r.batcher.clock)
