@@ -515,6 +515,38 @@ def attention(
     if scale is None:
         scale = 1.0 / (d ** 0.5)
 
+    # plain causal PREFILL on TPU rides jax's Pallas flash-attention: the
+    # einsum path materializes (B, H, S, S) f32 scores in HBM (~0.5
+    # ms/layer of the full-model prefill at S=1024, profiled in
+    # scripts/prefill_model_profile.py); flash streams K/V tiles instead.
+    # Masked / cached / windowed variants keep the einsum (exact-mask
+    # reference semantics).
+    if (attn_mask is None and valid_len is None and sliding_window is None
+            and isinstance(causal_offset, int) and causal_offset == 0
+            and sq == k.shape[2] and sq >= 256 and sq % 128 == 0
+            and d % 64 == 0 and (ctx is None or not ctx.interpret)
+            and jax.default_backend() == "tpu"):
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            BlockSizes as _FlashBlocks,
+            flash_attention as _flash,
+        )
+
+        def _blk(n, cap):
+            for c in (cap, 512, 256, 128):
+                if c <= cap and n % c == 0:
+                    return c
+            return min(n, 128)
+
+        # measured at (1, 32, 1024, 128): default blocks 470 us, (q256,
+        # k1024) 87 us — the default leaves the kernel grid-overhead-bound
+        bs = _FlashBlocks(block_q=_blk(sq, 256),
+                          block_k_major=_blk(sq, 1024),
+                          block_k=_blk(sq, 1024), block_b=1)
+        qh = q.transpose(0, 2, 1, 3).astype(jnp.bfloat16)   # (B, H, S, D)
+        out = _flash(qh, k.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+                     causal=True, sm_scale=float(scale), block_sizes=bs)
+        return out.transpose(0, 2, 1, 3).astype(q.dtype)
+
     # (B, nh, Sq, Sk)
     scores = jnp.einsum("bqhd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
     scores = scores * scale
