@@ -669,16 +669,22 @@ def unembed(x: jax.Array, embedding: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def prefetch_tree_capable(stacked, ctx, caches, s: int) -> bool:
+def prefetch_tree_capable(stacked, ctx, caches, s: int,
+                          allow_smajor: bool = False) -> bool:
     """Generic gate for the no-copy scalar-prefetch scan decode: single
     token, aligned stacked cache, no taps/TP, and every projection either a
     tile-aligned nibble PackedLinear or a transposed-fp ("weight_t") dict.
-    Arch modules add their own shape/attention checks on top."""
+    Arch modules add their own shape/attention checks on top.
+    allow_smajor: only archs whose scan body dispatches the batched-head
+    S-major attention (llama-family) pass True — others decline the
+    S-major cache here and take the generic (einsum-fallback) path."""
     from smoothquant_tpu.kernels.pack import PackedLinear
 
     # NB: KVCache/QuantKVCache are NamedTuples — a plain tuple check would
     # reject every cache; a stacked cache is recognized by its pos field
     if s != 1 or caches is None or not hasattr(caches, "pos"):
+        return False
+    if isinstance(caches, SMajorQuantKVCache) and not allow_smajor:
         return False
     if ctx is not None and (ctx.taps is not None or ctx.tp_axis is not None
                             or ctx.ep_axis is not None

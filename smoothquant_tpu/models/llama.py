@@ -499,7 +499,7 @@ def _prefetch_capable(params, cfg, ctx, caches, s: int) -> bool:
     )
 
     if not prefetch_tree_capable(params["layers"].get("stacked"), ctx,
-                                 caches, s):
+                                 caches, s, allow_smajor=True):
         return False
     if isinstance(caches, SMajorQuantKVCache):
         from smoothquant_tpu.kernels import attn_smajor

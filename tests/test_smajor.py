@@ -214,3 +214,20 @@ def test_batcher_smajor_matches_quantkv(packed_model8):
         b.run_to_completion(chunk=2)
         outs.append([r.generated for r in reqs])
     assert outs[0] == outs[1]
+
+
+def test_smajor_declines_gracefully_on_other_archs():
+    """Non-llama archs must REJECT the S-major cache at the prefetch gate
+    (their scan bodies dispatch the head-major flash kernel) and fall back
+    to the generic path instead of crashing."""
+    from smoothquant_tpu.models.common import prefetch_tree_capable
+
+    cache = SMajorQuantKVCache(
+        k_q=jnp.zeros((2, 1, 128, 512), jnp.int8),
+        v_q=jnp.zeros((2, 1, 128, 512), jnp.int8),
+        k_scale=jnp.zeros((2, 1, 8, 128), jnp.float32),
+        v_scale=jnp.zeros((2, 1, 8, 128), jnp.float32),
+        pos=jnp.zeros((2,), jnp.int32))
+    assert not prefetch_tree_capable({"self_attn": {}}, None, cache, 1)
+    assert not prefetch_tree_capable({"self_attn": {}}, None, cache, 1,
+                                     allow_smajor=False)
