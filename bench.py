@@ -11,12 +11,14 @@ single-token decode step over a warm KV cache at batch 4, full 32-layer
 depth, layers pre-stacked under lax.scan.
 
 vs_baseline = speedup over the bf16 unquantized decode of the same model on
-the same chip.  The bf16 model (13.5 GB) cannot be resident together with
-the packed model, so its full-depth step time is a two-point linear fit
-t(L) = a + b*L measured at L=4 and L=16 and evaluated at L=32 — the
-per-layer cost is HBM-bound and linear in depth; the intercept captures the
-shared lm_head/embedding/final-norm work.  (The reference publishes no
-latency numbers, SURVEY.md §6 — bf16-on-chip is the honest baseline.)
+the same chip.  The full bf16 model + bf16 cache (15.6 GB) does not fit a
+16 GB chip even alone (measured RESOURCE_EXHAUSTED), so the baseline is
+MEASURED at depths 4/16/28 (28L = 14.0 GB is the deepest that fits) and a
+least-squares linear fit extrapolates the last 4 layers — the per-layer
+cost is HBM-bound and linear in depth (fit residuals reported); the
+intercept captures the shared lm_head/embedding/final-norm work.  (The
+reference publishes no latency numbers, SURVEY.md §6 — bf16-on-chip is the
+honest baseline.)
 
 detail carries the roofline evidence (VERDICT r1 weak #3): HBM bytes
 actually resident-and-read per step (packed weights + KV cache), achieved
@@ -228,8 +230,13 @@ def main() -> None:
                        ).astype(x.dtype)
 
     # sub-ms micro-kernels over the tunnel need deep chains or the
-    # two-point differencing drowns in round-trip jitter (observed 0.000)
-    t_pf_bf = time_steps(bf16_prefill, (x_pf, w_pf.T), iters=64, repeats=7)
+    # two-point differencing drowns in round-trip jitter (observed 0.000);
+    # even so the bf16 wall reading swings run-to-run (0.30-0.55 ms seen) —
+    # profiler ground truth (scripts/prefill_profile.py) is 526 us bf16 /
+    # 275 us fused-int8 ≈ 1.7x
+    it_pf, rp_pf = (16, 3) if _TINY else (128, 9)
+    t_pf_bf = time_steps(bf16_prefill, (x_pf, w_pf.T), iters=it_pf,
+                         repeats=rp_pf)
     pk_pf = promote_int8(pack_linear(
         {"weight": w_pf, "bias": None}, qcfg,
         importance=rng.uniform(0.1, 1.0, size=(kp,)), nibble=True,
@@ -238,7 +245,7 @@ def main() -> None:
     def q_prefill(x, p):
         return real_quant_linear(p, x, compute="int", interpret=_TINY)
 
-    t_pf_q = time_steps(q_prefill, (x_pf, pk_pf), iters=64, repeats=7)
+    t_pf_q = time_steps(q_prefill, (x_pf, pk_pf), iters=it_pf, repeats=rp_pf)
     _log(f"prefill bf16 {t_pf_bf*1e3:.3f} ms vs promoted-int8 "
          f"{t_pf_q*1e3:.3f} ms ({t_pf_bf/t_pf_q:.2f}x)")
     del w_pf, x_pf, pk_pf
