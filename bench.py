@@ -202,11 +202,13 @@ def main() -> None:
         per_layer, icept = np.polyfit(xs_, ys_, 1)
         t_bf_est = icept + per_layer * FULL_LAYERS
         resid = ys_ - (icept + per_layer * xs_)
+        bf16_fit_resid_ms = round(float(np.abs(resid).max()) * 1e3, 3)
         _log(f"bf16 fit over {ds}: {per_layer*1e3:.3f} ms/layer, "
              f"est {FULL_LAYERS}L = {t_bf_est*1e3:.2f} ms/step, "
-             f"max fit residual {np.abs(resid).max()*1e3:.3f} ms")
+             f"max fit residual {bf16_fit_resid_ms} ms")
     else:
         t_bf_est = t_bf[ds[0]] * FULL_LAYERS / ds[0]
+        bf16_fit_resid_ms = None
         _log(f"single-point bf16 scale-up: est {t_bf_est*1e3:.2f} ms")
 
     # ---------------- prefill micro-metric (VERDICT r1 #3) -----------------
@@ -656,6 +658,7 @@ def main() -> None:
             "t_bf16_est_ms": round(t_bf_est * 1e3, 3),
             "t_bf16_measured_ms": {str(d): round(t * 1e3, 3)
                                    for d, t in sorted(t_bf.items())},
+            "bf16_fit_max_residual_ms": bf16_fit_resid_ms,
             "weight_gb": round(weight_bytes / 1e9, 3),
             "kv_gb": round(kv_bytes / 1e9, 3),
             "bf16_equiv_gb": round(bf16_bytes / 1e9, 3),
